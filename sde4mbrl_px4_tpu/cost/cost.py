@@ -1,0 +1,139 @@
+"""MPC cost assembly (L3).
+
+Implements the full ``cost_params`` schema of the reference configs
+(``launch/iris_sitl_traj_mpc.yaml:32-41``, posctrl extras at
+``launch/iris_sitl_posctrl_mpc.yaml:40-41``):
+
+- ``uref``/``uerr``: quadratic control-effort cost about the hover command;
+- ``perr``/``verr``/``qerr``/``werr``: per-axis quadratic tracking weights on
+  position, velocity, attitude error and body rate. Attitude error is the
+  vector part of ``q_ref^{-1} ⊗ q`` (the reference leaves the exact form to
+  the external library; this sign-corrected error-quaternion form is the
+  standard choice and is documented here per SURVEY.md §7 "hard parts");
+- ``u_slew_coeff``: quadratic penalty on successive control differences;
+- ``u_slew_constr`` + ``u_slew_constr_coeff``: one-sided quadratic penalties
+  when the per-step control rate (du/dt) leaves a per-motor box;
+- ``res_mult``: uncertainty penalty — mean squared diffusion magnitude
+  accumulated along the sampled paths;
+- ``discount``: geometric stage discount (``iris_sitl_traj_mpc.yaml:49``).
+
+Costs reduce over particles by mean; when the particle axis is sharded over
+a mesh, XLA lowers that mean to a ``psum`` over ICI (SURVEY.md §2.15).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sde4mbrl_px4_tpu.core import quaternion as quat
+from sde4mbrl_px4_tpu.core.types import POS, VEL, QUAT, OMEGA
+
+__all__ = ["CostParams", "make_cost_fn"]
+
+
+class CostParams(NamedTuple):
+    uref: jax.Array            # (n_u,)
+    uerr: jax.Array            # scalar
+    perr: jax.Array            # (3,)
+    verr: jax.Array            # (3,)
+    qerr: jax.Array            # (3,)
+    werr: jax.Array            # (3,)
+    res_mult: jax.Array        # scalar
+    u_slew_coeff: jax.Array    # scalar
+    u_slew_constr: Optional[jax.Array]  # (n_u, 2) [lo, hi] du/dt box, or None
+    u_slew_constr_coeff: jax.Array      # scalar
+    discount: jax.Array        # scalar
+
+    @staticmethod
+    def from_config(cfg: Dict[str, Any], n_u: int) -> "CostParams":
+        cp = cfg["cost_params"]
+
+        def vec(v, n):
+            a = np.asarray(v, np.float32)
+            return jnp.asarray(np.broadcast_to(a, (n,)))
+
+        slew_constr = cp.get("u_slew_constr")
+        return CostParams(
+            uref=vec(cp["uref"], n_u),
+            uerr=jnp.float32(cp.get("uerr", 0.0)),
+            perr=vec(cp.get("perr", 0.0), 3),
+            verr=vec(cp.get("verr", 0.0), 3),
+            qerr=vec(cp.get("qerr", 0.0), 3),
+            werr=vec(cp.get("werr", 0.0), 3),
+            res_mult=jnp.float32(cp.get("res_mult", 0.0)),
+            u_slew_coeff=jnp.float32(cp.get("u_slew_coeff", 0.0)),
+            u_slew_constr=None if slew_constr is None else jnp.asarray(slew_constr, jnp.float32),
+            u_slew_constr_coeff=jnp.float32(cp.get("u_slew_constr_coeff", 0.0)),
+            discount=jnp.float32(cfg.get("discount", 1.0)),
+        )
+
+
+def _stage_tracking(cp: CostParams, x: jax.Array, x_ref: jax.Array) -> jax.Array:
+    """Quadratic tracking cost of states vs references; broadcasts leading dims."""
+    dp = x[..., POS] - x_ref[..., POS]
+    dv = x[..., VEL] - x_ref[..., VEL]
+    dq = quat.qerr_vec(x[..., QUAT], x_ref[..., QUAT])
+    dw = x[..., OMEGA] - x_ref[..., OMEGA]
+    return (
+        jnp.sum(cp.perr * dp * dp, -1)
+        + jnp.sum(cp.verr * dv * dv, -1)
+        + jnp.sum(cp.qerr * dq * dq, -1)
+        + jnp.sum(cp.werr * dw * dw, -1)
+    )
+
+
+def make_cost_fn(cp: CostParams, time_steps: jax.Array):
+    """Build the total-cost function for a horizon.
+
+    Returns ``cost(x_paths, sigma_paths, u_seq, x_ref, u_prev) -> scalar``:
+
+    - ``x_paths``: (P, H+1, 13) sampled paths (or (H+1, 13) mean path);
+    - ``sigma_paths``: (P, H, 13) diffusion magnitudes or None;
+    - ``u_seq``: (H, n_u);
+    - ``x_ref``: (H+1, 13) per-stage reference (constant target broadcast by
+      the caller in position-hold mode);
+    - ``u_prev``: (n_u,) last applied control for the first slew difference
+      (defaults to ``uref`` when None).
+    """
+    H = int(time_steps.shape[0])
+    disc = cp.discount ** jnp.arange(1, H + 1, dtype=jnp.float32)
+
+    def cost_fn(x_paths, sigma_paths, u_seq, x_ref, u_prev=None):
+        if x_paths.ndim == 2:
+            x_paths = x_paths[None]
+        # Tracking: stages 1..H of each particle path, discounted, mean over particles.
+        track = _stage_tracking(cp, x_paths[:, 1:, :], x_ref[None, 1:, :])  # (P, H)
+        j_track = jnp.mean(jnp.sum(disc * track, axis=-1))
+
+        # Control effort about uref.
+        du = u_seq - cp.uref
+        j_u = cp.uerr * jnp.sum(disc[:, None] * du * du)
+
+        # Slew: first step vs u_prev, then successive differences.
+        up = cp.uref if u_prev is None else u_prev
+        slew = jnp.diff(jnp.concatenate([up[None, :], u_seq], axis=0), axis=0)  # (H, n_u)
+        j_slew = cp.u_slew_coeff * jnp.sum(slew * slew)
+
+        # One-sided du/dt box penalties (posctrl configs only).
+        j_slew_c = jnp.float32(0.0)
+        if cp.u_slew_constr is not None:
+            rate = slew / time_steps[:, None]
+            lo, hi = cp.u_slew_constr[:, 0], cp.u_slew_constr[:, 1]
+            viol = jnp.maximum(rate - hi, 0.0) ** 2 + jnp.maximum(lo - rate, 0.0) ** 2
+            j_slew_c = cp.u_slew_constr_coeff * jnp.sum(viol)
+
+        # Uncertainty penalty: discounted mean squared diffusion along paths.
+        j_res = jnp.float32(0.0)
+        if sigma_paths is not None:
+            if sigma_paths.ndim == 2:
+                sigma_paths = sigma_paths[None]
+            j_res = cp.res_mult * jnp.mean(
+                jnp.sum(disc * jnp.sum(sigma_paths * sigma_paths, -1), axis=-1)
+            )
+
+        return j_track + j_u + j_slew + j_slew_c + j_res
+
+    return cost_fn

@@ -1,0 +1,335 @@
+"""Receding-horizon controller runtime (L5).
+
+The pure-logic core of the reference's ``SDEControlROS`` node
+(``sde4mbrl_px4/mpc_controller/sde_control.py``), decoupled from
+ROS/MAVLink/multiprocessing so it is directly testable and reusable by the
+async engine (``io/engine_runtime.py``):
+
+- :class:`ControlAutomata` — the mode machine (none/reset/test/pos/idle/
+  traj) resolved on every state tick (reference ``control_automata``,
+  ``sde_control.py:180-220``) plus the service-level mode-switch semantics
+  (``start_trajectory_callback``, ``sde_control.py:480-562``).
+- :class:`RecedingHorizonController` — owns the two solvers (trajectory
+  tracker + position/setpoint controller, reference ``load_mpc_models``,
+  ``sde_control.py:156-177``), dispatches solves per mode (reference solver
+  loop dispatch, ``sde_control.py:398-419``), and performs the
+  time-indexed asynchronous plan pickup (``sde_control.py:292-308``) that
+  decouples command latency from solve latency.
+
+The controller itself is host-side Python orchestrating AOT-compiled XLA
+executables; the hot solve path never leaves the device.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sde4mbrl_px4_tpu.core.types import (
+    CONTROL_STATES,
+    CTRL_INACTIVE,
+    CTRL_POSE_ACTIVE,
+    CTRL_TEST,
+    CTRL_TRAJ_ACTIVE,
+    CTRL_TRAJ_IDLE,
+    hover_state,
+)
+from sde4mbrl_px4_tpu.engine.mpc_loader import load_mpc_from_cfgfile
+from sde4mbrl_px4_tpu.engine.telemetry import OptMPCStateRecord
+
+__all__ = ["ControlAutomata", "RecedingHorizonController", "CompiledMPC"]
+
+
+@dataclass
+class ControlAutomata:
+    """Mode machine resolved on every incoming state (``sde_control.py:180-220``).
+
+    ``now_fn`` is injectable for deterministic tests (wall clock by default,
+    as the reference uses ``time.time()`` at ``sde_control.py:211``).
+    """
+
+    state_from_traj: Optional[Callable] = None
+    now_fn: Callable[[], float] = time.time
+
+    pos_control: bool = False
+    test_mode: bool = False
+    run_trajectory: bool = False
+    trajec_time: float = -1.0
+    reset_done: bool = False
+    weight_motors: int = 0
+    target_x: np.ndarray = field(default_factory=lambda: np.asarray(hover_state()))
+    _last_traj_time: float = 0.0
+    last_state: int = CONTROL_STATES["none"]
+
+    def resolve(self) -> Tuple[int, float, np.ndarray]:
+        """One automata tick -> (control_state, trajec_time, target_state).
+
+        Mirrors the reference's precedence: pos-control > no-trajectory
+        (none) > trajectory-loaded-but-not-running (idle, target = traj(0)) >
+        running (traj, wall-clock window position).
+        """
+        if self.pos_control:
+            self.last_state = CONTROL_STATES["pos"]
+        elif self.trajec_time < 0.0:
+            self.last_state = CONTROL_STATES["none"]
+        elif not self.run_trajectory:
+            self.trajec_time = 0.0
+            if self.state_from_traj is not None:
+                self.target_x = np.asarray(self.state_from_traj(0.0), np.float32)
+            self.last_state = CONTROL_STATES["idle"]
+        else:
+            now = self.now_fn()
+            if self.trajec_time == 0:
+                self._last_traj_time = now
+                self.trajec_time = 1e-7  # sentinel: started (reference :216)
+            else:
+                self.trajec_time = now - self._last_traj_time
+            self.last_state = CONTROL_STATES["traj"]
+        return self.last_state, self.trajec_time, self.target_x
+
+    # -- service-level mode switching (``start_trajectory_callback``) --------
+
+    def set_mode(self, mode: int, target_pose: Optional[np.ndarray] = None,
+                 weight_motors: int = 110) -> Tuple[bool, str]:
+        """FollowTraj-service semantics (``sde_control.py:480-562``).
+
+        ``weight_motors`` in [0,100] is a pure blend update; out-of-range
+        values (the reference CLI sends 110) fall through to mode dispatch.
+        """
+        if 0 <= weight_motors <= 100:
+            self.weight_motors = int(weight_motors)
+            return True, "weight_motors updated"
+        if not self.reset_done and mode != CTRL_INACTIVE:
+            return False, "controller not reset: run controller_init first"
+        if target_pose is not None:
+            self.target_x = np.asarray(target_pose, np.float32)
+
+        if mode == CTRL_TEST:
+            self.test_mode = True
+            self.pos_control = True
+            self.run_trajectory = False
+            self.trajec_time = -1.0
+            return True, "test mode activated"
+        if mode == CTRL_POSE_ACTIVE:
+            self.test_mode = False
+            self.pos_control = True
+            self.run_trajectory = False
+            self.trajec_time = -1.0
+            return True, "position control activated"
+        if mode == CTRL_INACTIVE:
+            self.reset_done = False
+            self.test_mode = False
+            self.pos_control = False
+            self.run_trajectory = False
+            self.trajec_time = -1.0
+            return True, "controller deactivated"
+        if self.run_trajectory and mode == CTRL_TRAJ_ACTIVE:
+            return False, "trajectory already running"
+
+        # TRAJ_IDLE / TRAJ_ACTIVE: a trajectory only starts from idle
+        # (reference ``sde_control.py:548-557``).
+        was_idle = self.last_state == CONTROL_STATES["idle"]
+        self.trajec_time = 0.0 if mode in (CTRL_TRAJ_IDLE, CTRL_TRAJ_ACTIVE) else -1.0
+        if mode == CTRL_TRAJ_ACTIVE and was_idle:
+            self.run_trajectory = True
+            msg = "trajectory started"
+        else:
+            self.run_trajectory = False
+            msg = "entering idle; re-issue CTRL_TRAJ_ACTIVE from idle to start"
+        self.test_mode = False
+        self.pos_control = False
+        return True, msg
+
+
+class CompiledMPC:
+    """AOT-compiled solver closures for one config.
+
+    Reproduces the reference's compile-at-startup pipeline
+    (``load_single_mpc``: ``jit(f).lower(args).compile()`` + warm call,
+    ``sde_control.py:681-721``) so steady-state solves never trace.
+    """
+
+    def __init__(self, cfg_path: str, seed: int = 0, convert_to_enu: bool = True):
+        cfg, (reset_fn, mpc_fn), state_from_traj, bundle = load_mpc_from_cfgfile(
+            cfg_path, convert_to_enu=convert_to_enu
+        )
+        self.cfg = cfg
+        self.bundle = bundle
+        self.n_u = bundle.model.n_u
+        self.horizon = int(bundle.time_steps.shape[0])
+        self.dt_usec = float(cfg["_time_steps"][0]) * 1e6
+        self.seed = seed
+
+        x0 = hover_state()
+        rng = jax.random.PRNGKey(seed)
+
+        self.state_from_traj = None
+        if state_from_traj is not None:
+            self.state_from_traj = (
+                jax.jit(state_from_traj).lower(jnp.float32(0.01)).compile()
+            )
+
+        self.reset = jax.jit(reset_fn).lower(x0, rng, x0).compile()
+        self.default_opt_state = self.reset(x0, rng, x0)
+        jax.block_until_ready(self.default_opt_state.yk)
+
+        self.mpc = (
+            jax.jit(mpc_fn)
+            .lower(x0, rng, self.default_opt_state, jnp.float32(0.01), x0)
+            .compile()
+        )
+        warm = self.mpc(x0, rng, self.default_opt_state, jnp.float32(0.01), x0)
+        jax.block_until_ready(warm.u_opt)
+
+
+class RecedingHorizonController:
+    """Dual-solver receding-horizon controller with async plan pickup.
+
+    Synchronous API (the async doorbell runtime wraps this in
+    ``io/engine_runtime.py``):
+
+    - :meth:`on_state` — the hot ingress: record state/mode, pick the
+      command out of the latest finished plan by time index;
+    - :meth:`solve_once` — one solver-loop body: mode dispatch + solve +
+      plan publication (what the solver process runs per doorbell).
+    """
+
+    def __init__(self, traj_cfg_path: str, pos_cfg_path: str, seed: int = 0,
+                 now_fn: Callable[[], float] = time.time):
+        self.traj = CompiledMPC(traj_cfg_path, seed=seed)
+        self.pos = CompiledMPC(pos_cfg_path, seed=seed)
+        assert self.traj.state_from_traj is not None, (
+            "trajectory config must declare trajectory_path (reference asserts "
+            "the same, sde_control.py:164)"
+        )
+        assert self.pos.state_from_traj is None, (
+            "position config must NOT declare trajectory_path (sde_control.py:177)"
+        )
+        self.automata = ControlAutomata(
+            state_from_traj=lambda t: self.traj.state_from_traj(jnp.float32(t)),
+            now_fn=now_fn,
+        )
+        rng = jax.random.PRNGKey(seed)
+        self.rng_traj, self.rng_pos = jax.random.split(rng)
+        self.opt_state_traj = self.traj.default_opt_state
+        self.opt_state_pos = self.pos.default_opt_state
+
+        # Latest finished plan (the reference keeps these in shared memory,
+        # ``sde_control.py:616-663``).
+        max_h = max(self.traj.horizon, self.pos.horizon)
+        max_u = max(self.traj.n_u, self.pos.n_u)
+        self.u_plan = np.zeros((max_h, max_u), np.float32)
+        self.w_plan = np.zeros((max_h, 4), np.float32)
+        self.plan_sample_time_usec = -1.0
+        self.plan_is_traj = False
+        self.last_record = OptMPCStateRecord()
+
+        self._curr_ctrl: Optional[str] = None
+        self._idle_traj = False
+
+    # ------------------------------------------------------------------ solve
+
+    def solve_once(self, x: np.ndarray, control_state: int, trajec_time: float,
+                   target_x: np.ndarray, sample_time_usec: float) -> OptMPCStateRecord:
+        """One solver iteration (reference loop body ``sde_control.py:365-450``)."""
+        x = jnp.asarray(x, jnp.float32)
+        names = {v: k for k, v in CONTROL_STATES.items()}
+        mode = names.get(int(control_state), "none")
+        t0 = time.perf_counter()
+
+        if self._curr_ctrl is None or (self._curr_ctrl == "none" and mode != "none"):
+            self.opt_state_traj = self.traj.reset(x, self.rng_traj, x)
+            self.opt_state_pos = self.pos.reset(x, self.rng_pos, x)
+        if mode == "idle" and self._curr_ctrl in (None, "none", "pos"):
+            self.opt_state_traj = self.traj.reset(x, self.rng_traj, x)
+            self._idle_traj = True
+
+        target = jnp.asarray(target_x, jnp.float32)
+        tt = jnp.float32(max(trajec_time, 0.0))
+
+        if mode == "none":
+            self._curr_ctrl = "none"
+            # Hold current state: xdes = state expressed in the xdes frame
+            # (involution; reference ``sde_control.py:400``).
+            from sde4mbrl_px4_tpu.core.frames import ned2enu
+            sol = self.pos.mpc(x, self.rng_pos, self.opt_state_pos, jnp.float32(0.0), ned2enu(x))
+            self.opt_state_pos, self.rng_pos = sol.opt_state, sol.rng
+            used = self.opt_state_pos
+        elif mode == "idle":
+            self._curr_ctrl = "idle"
+            sol = self.pos.mpc(x, self.rng_pos, self.opt_state_pos, jnp.float32(0.0), target)
+            self.opt_state_pos, self.rng_pos = sol.opt_state, sol.rng
+            self._idle_traj = not self._idle_traj
+            if self._idle_traj:
+                # Pre-warm the trajectory solver every 2nd tick (:402-408).
+                pre = self.traj.mpc(x, self.rng_traj, self.opt_state_traj, tt, x)
+                self.opt_state_traj, self.rng_traj = pre.opt_state, pre.rng
+            used = self.opt_state_traj
+        elif mode == "traj":
+            self._curr_ctrl = "traj"
+            sol = self.traj.mpc(x, self.rng_traj, self.opt_state_traj, tt, x)
+            self.opt_state_traj, self.rng_traj = sol.opt_state, sol.rng
+            used = self.opt_state_traj
+        elif mode == "pos":
+            self._curr_ctrl = "pos"
+            sol = self.pos.mpc(x, self.rng_pos, self.opt_state_pos, jnp.float32(0.0), target)
+            self.opt_state_pos, self.rng_pos = sol.opt_state, sol.rng
+            used = self.opt_state_pos
+        else:
+            raise ValueError(f"unknown control state {control_state}")
+
+        u_opt = np.asarray(jax.block_until_ready(sol.u_opt))
+        x_evol = np.asarray(sol.x_evol)
+        solve_time = time.perf_counter() - t0
+
+        # thrust = motor mean; rates from predicted trajectory (:431-432).
+        thrust = np.sum(u_opt, axis=1) / u_opt.shape[1]
+        w_opt = np.stack(
+            [thrust, x_evol[1:, 10], x_evol[1:, 11], x_evol[1:, 12]], axis=-1
+        ).astype(np.float32)
+
+        self.u_plan[: u_opt.shape[0], : u_opt.shape[1]] = u_opt
+        self.w_plan[: w_opt.shape[0]] = w_opt
+        self.plan_sample_time_usec = float(sample_time_usec)
+        self.plan_is_traj = mode in ("traj", "idle")
+
+        self.last_record = OptMPCStateRecord.from_opt_state(
+            used, solve_time=solve_time, callback_dt=0.0, state_dt=0.0,
+            ctrl_state=control_state, mpc_indx=0,
+        )
+        return self.last_record
+
+    # ----------------------------------------------------------------- pickup
+
+    def pick_command(self, sample_time_usec: float) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+        """Time-indexed plan pickup (reference ``sde_control.py:283-308``).
+
+        Returns (motor_cmd[6], thrust_and_rates[4], index) or None when no
+        plan has completed yet.
+        """
+        if self.plan_sample_time_usec <= 0:
+            return None
+        active = self.traj if self.plan_is_traj else self.pos
+        idx = int((sample_time_usec - self.plan_sample_time_usec) / active.dt_usec)
+        idx = max(0, min(idx, active.horizon - 1))
+        u = self.u_plan[idx, : active.n_u]
+        if u.shape[0] < 6:
+            u = np.concatenate([u, np.zeros(6 - u.shape[0], np.float32)])
+        return u.copy(), self.w_plan[idx].copy(), idx
+
+    # ------------------------------------------------------------------ state
+
+    def on_state(self, x: np.ndarray, sample_time_usec: float):
+        """Hot ingress tick: resolve automata, return picked command.
+
+        (The solve itself is triggered separately — by the async runtime's
+        doorbell — exactly like the reference callback never waits for a
+        solve, ``sde_control.py:223-325``.)
+        """
+        control_state, trajec_time, target = self.automata.resolve()
+        cmd = self.pick_command(sample_time_usec)
+        return control_state, trajec_time, target, cmd

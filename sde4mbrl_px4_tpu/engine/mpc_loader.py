@@ -1,0 +1,209 @@
+"""MPC factory: config file -> jittable (reset, mpc) closures (L5).
+
+Re-implements the external-library entry point whose call-site contract the
+reference pins down (SURVEY.md §2.9):
+
+    cfg, (reset_fn, mpc_fn), state_from_traj, bundle = \
+        load_mpc_from_cfgfile(path, convert_to_enu=True)      # sde_control.py:685
+
+- ``cfg['_time_steps']``: per-step dt list; step 0 defines the control
+  indexing period (``sde_control.py:167``).
+- ``state_from_traj(t) -> x(13)`` or None when the config has no
+  ``trajectory_path`` (asserted by the reference at ``sde_control.py:164,177``).
+- ``reset_fn(x, rng, xdes) -> APGState`` warm-start initializer.
+- ``mpc_fn(x, rng, opt_state, curr_t=, xdes=) ->
+  (uopt[H,n_u], opt_state', rng', x_evol[H+1,13])`` (``sde_control.py:412``);
+  ``x_evol`` rows 1.. carry the predicted body rates at cols 10..12
+  (``sde_control.py:432``); ``opt_state'`` carries the one-step-shifted warm
+  start for the next solve.
+
+Frame convention (derived from the reference call sites, see
+``core/frames.py``): the solver operates in NED/FRD (the FCU frame the
+state arrives in, ``sde_control.py:228``). With ``convert_to_enu=True``,
+``xdes`` inputs are interpreted as ENU/FLU (ROS-side setpoints,
+``sde_control.py:186-192``) and converted internally, and trajectory CSVs
+(ENU, ``geometric_controller.cpp:463``) are converted at load. This makes
+every reference call site consistent, including the 'none'-mode call
+``mpc_pos_solver(x, ..., xdes=enu2ned(curr_state))`` (``sde_control.py:400``)
+since the world-frame swap is an involution.
+"""
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sde4mbrl_px4_tpu.core.frames import enu2ned
+from sde4mbrl_px4_tpu.core.types import MPCSolution
+from sde4mbrl_px4_tpu.cost.cost import CostParams, make_cost_fn
+from sde4mbrl_px4_tpu.io.config import input_bounds_from_config, load_yaml_config
+from sde4mbrl_px4_tpu.models.params_io import load_params
+from sde4mbrl_px4_tpu.models.sde_model import NeuralSDE, init_params
+from sde4mbrl_px4_tpu.models.trajectory import load_trajectory_csv, make_state_from_traj
+from sde4mbrl_px4_tpu.models.vehicles import iris_config, hexa_config
+from sde4mbrl_px4_tpu.ops.rollout import make_time_steps, rollout_mean, rollout_sde
+from sde4mbrl_px4_tpu.solver.apg import APGConfig, APGState, apg_solve
+
+__all__ = ["load_mpc_from_cfgfile", "MPCBundle", "make_mpc_from_config"]
+
+
+class MPCBundle(NamedTuple):
+    """Everything behind the closures — for tests, benchmarks and sharding."""
+
+    model: NeuralSDE
+    params: Dict[str, Any]
+    cost_params: CostParams
+    apg_config: APGConfig
+    time_steps: jax.Array      # (H,)
+    knot_times: jax.Array      # (H+1,) cumulative times incl. 0
+    lb: jax.Array
+    ub: jax.Array
+    num_particles: int
+    state_from_traj: Optional[Callable]
+    convert_to_enu: bool
+
+
+def _resolve_model(cfg: Dict[str, Any]) -> Tuple[NeuralSDE, Dict[str, Any]]:
+    n_u = len(cfg["input_constr"]["input_id"])
+    vehicle = iris_config() if n_u == 4 else hexa_config()
+    model = NeuralSDE(vehicle=vehicle)
+    ckpt = cfg.get("learned_model_params")
+    if ckpt and os.path.exists(os.path.expanduser(ckpt)):
+        params, meta = load_params(ckpt)
+        if meta.get("vehicle") not in (None, vehicle.name):
+            warnings.warn(
+                f"checkpoint vehicle {meta.get('vehicle')!r} != config vehicle {vehicle.name!r}"
+            )
+    else:
+        if ckpt:
+            warnings.warn(
+                f"learned_model_params {ckpt!r} not found; initializing fresh physics-prior model"
+            )
+        params = init_params(jax.random.PRNGKey(0), model)
+    params = jax.tree.map(jnp.asarray, params)
+    return model, params
+
+
+def make_mpc_from_config(
+    cfg: Dict[str, Any], convert_to_enu: bool = True
+) -> Tuple[Dict[str, Any], Tuple[Callable, Callable], Optional[Callable], MPCBundle]:
+    """Core factory; ``cfg`` is an already-parsed config mapping."""
+    model, params = _resolve_model(cfg)
+    n_u = model.n_u
+
+    time_steps_np = make_time_steps(
+        cfg["horizon"], cfg["num_short_dt"], cfg["short_step_dt"], cfg["long_step_dt"]
+    )
+    cfg["_time_steps"] = [float(d) for d in time_steps_np]
+    time_steps = jnp.asarray(time_steps_np)
+    knot_times = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(time_steps)])
+    H = int(time_steps.shape[0])
+
+    lb_np, ub_np = input_bounds_from_config(cfg)
+    lb, ub = jnp.asarray(lb_np), jnp.asarray(ub_np)
+    cost_params = CostParams.from_config(cfg, n_u)
+    apg_cfg = APGConfig.from_config(cfg)
+    num_particles = int(cfg.get("num_particles", 1))
+
+    state_from_traj = None
+    traj_path = cfg.get("trajectory_path")
+    if traj_path:
+        table = load_trajectory_csv(traj_path, convert_to_ned=convert_to_enu)
+        state_from_traj = make_state_from_traj(table)
+
+    bundle = MPCBundle(
+        model=model,
+        params=params,
+        cost_params=cost_params,
+        apg_config=apg_cfg,
+        time_steps=time_steps,
+        knot_times=knot_times,
+        lb=lb,
+        ub=ub,
+        num_particles=num_particles,
+        state_from_traj=state_from_traj,
+        convert_to_enu=convert_to_enu,
+    )
+
+    cost_fn = make_cost_fn(cost_params, time_steps)
+    u_hover = jnp.broadcast_to(cost_params.uref, (H, n_u))
+
+    def reset_fn(x: jax.Array, rng: jax.Array, xdes: jax.Array) -> APGState:
+        """Warm-start initializer (contract: ``sde_control.py:702,706-707``).
+
+        ``x``/``xdes`` only size-check here: the hover-reference control
+        sequence is the canonical restart point; stats fields start at 0.
+        """
+        del x, rng, xdes
+        z = jnp.float32(0.0)
+        return APGState(
+            yk=u_hover, num_steps=z, stepsize=jnp.float32(apg_cfg.init_stepsize),
+            avg_stepsize=z, avg_linesearch=z, grad_sqr=z, init_cost=z, opt_cost=z,
+        )
+
+    def _build_ref(curr_t: jax.Array, xdes: jax.Array) -> jax.Array:
+        """Per-stage reference states (H+1, 13)."""
+        if state_from_traj is not None:
+            return state_from_traj(curr_t + knot_times)
+        return jnp.broadcast_to(xdes, (H + 1, 13))
+
+    def mpc_fn(
+        x: jax.Array,
+        rng: jax.Array,
+        opt_state: APGState,
+        curr_t: jax.Array = 0.0,
+        xdes: Optional[jax.Array] = None,
+    ) -> MPCSolution:
+        x = jnp.asarray(x, jnp.float32)
+        xdes = x if xdes is None else jnp.asarray(xdes, jnp.float32)
+        if convert_to_enu and state_from_traj is None:
+            xdes = enu2ned(xdes)
+        curr_t = jnp.asarray(curr_t, jnp.float32)
+        rng_noise, rng_next = jax.random.split(rng)
+
+        x_ref = _build_ref(curr_t, xdes)
+        u_prev = opt_state.yk[0]
+
+        if num_particles <= 1:
+            # Mean-dynamics flight configuration (``num_particles: 1``,
+            # ``iris_sitl_traj_mpc.yaml:52``): deterministic rollout; the
+            # uncertainty penalty still reads sigma along the mean path.
+            def seq_cost(u_seq):
+                x_paths, sigmas = rollout_sde(
+                    model, params, x, u_seq, time_steps, rng_noise, 1,
+                    deterministic=True,
+                )
+                return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev)
+        else:
+            def seq_cost(u_seq):
+                x_paths, sigmas = rollout_sde(
+                    model, params, x, u_seq, time_steps, rng_noise, num_particles
+                )
+                return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev)
+
+        st = apg_solve(seq_cost, opt_state.yk, lb, ub, apg_cfg)
+        u_opt = st.yk
+
+        # Predicted mean trajectory: body-rate columns feed the FCU fallback
+        # thrust+rates channel (``sde_control.py:432``).
+        x_evol = rollout_mean(model, params, x, u_opt, time_steps)
+
+        # Receding-horizon warm-start shift by one control period.
+        yk_next = jnp.concatenate([u_opt[1:], u_opt[-1:]], axis=0)
+        st_out = st._replace(yk=yk_next)
+        return MPCSolution(u_opt=u_opt, opt_state=st_out, rng=rng_next, x_evol=x_evol)
+
+    return cfg, (reset_fn, mpc_fn), state_from_traj, bundle
+
+
+def load_mpc_from_cfgfile(
+    path: str, convert_to_enu: bool = True
+) -> Tuple[Dict[str, Any], Tuple[Callable, Callable], Optional[Callable], MPCBundle]:
+    """File-path entry point matching the reference import
+    (``sde_control.py:12,685``)."""
+    cfg = load_yaml_config(path)
+    return make_mpc_from_config(cfg, convert_to_enu=convert_to_enu)

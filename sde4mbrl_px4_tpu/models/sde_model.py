@@ -1,0 +1,164 @@
+"""Neural-SDE vehicle dynamics (L1).
+
+The reference's learned model lives in the external ``sde4mbrl`` library and
+is loaded from a pickle named in config (``learned_model_params``,
+``launch/iris_sitl_traj_mpc.yaml:3``); only its call-site contract is
+observable (SURVEY.md §2.9). This module defines the framework's own
+physics-constrained neural SDE in the same spirit:
+
+    dx = f(x, u) dt + Σ(x, u) dW
+
+with drift ``f`` = rigid-body multirotor prior + neural residual
+wrench, and diffusion ``Σ`` a learned state/control-dependent diagonal on
+the velocity states (pos/quat rows are zero so sample paths stay consistent
+with kinematics and the quaternion stays near S³ between projections).
+
+Everything is a pure function of a parameter pytree — ``vmap`` over
+particles, ``grad`` through rollouts, shardable with ``pjit``. MLP layers
+are sized (64 hidden) so a batched particle axis maps onto the MXU.
+
+State: NED/FRD 13-vector (core.types). Control: per-motor thrust in [0,1].
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sde4mbrl_px4_tpu.core import quaternion as quat
+from sde4mbrl_px4_tpu.core.types import POS, VEL, QUAT, OMEGA
+from sde4mbrl_px4_tpu.models.vehicles import VehicleConfig, vehicle_from_name
+
+__all__ = ["NeuralSDE", "init_params", "drift_fn", "diffusion_fn", "mlp_apply"]
+
+_G = 9.81
+# Diffusion acts on velocity-like states only: v (3) + omega (3).
+_DIFF_DIM = 6
+_FEAT_DIM_BASE = 10  # v(3) + omega(3) + R_z row(3) + 1 spare for padding alignment
+
+
+def _feat(x: jax.Array, u: jax.Array) -> jax.Array:
+    """Network input features: body-frame velocity, rates, gravity direction
+    in body frame (attitude proxy that avoids quaternion double-cover), and
+    the motor commands."""
+    q = x[..., QUAT]
+    v_body = quat.qrotate_inv(q, x[..., VEL])
+    omega = x[..., OMEGA]
+    # Third row of R(q)^T: gravity (world z) expressed in body frame.
+    g_body = quat.qrotate_inv(q, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], x.dtype), x[..., 0:3].shape))
+    u_b = jnp.broadcast_to(u, x.shape[:-1] + (u.shape[-1],))
+    return jnp.concatenate([v_body, omega, g_body, u_b], axis=-1)
+
+
+def mlp_apply(params: Dict[str, Any], h: jax.Array) -> jax.Array:
+    """Tiny MLP: stacked dense layers with swish, linear head.
+
+    ``params`` = {"w0","b0","w1","b1",...}; matmuls use
+    ``preferred_element_type=float32`` so the MXU accumulates in f32 even if
+    weights are stored in bf16.
+    """
+    n_layers = sum(1 for k in params if k.startswith("w"))
+    for i in range(n_layers):
+        w, b = params[f"w{i}"], params[f"b{i}"]
+        h = jax.lax.dot_general(
+            h, w, (((h.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) + b
+        if i < n_layers - 1:
+            h = jax.nn.swish(h)
+    return h
+
+
+class NeuralSDE(NamedTuple):
+    """Static model description. Parameters travel separately as a pytree."""
+
+    vehicle: VehicleConfig
+
+    @property
+    def n_u(self) -> int:
+        return self.vehicle.n_motors
+
+    def drift(self, params: Dict[str, Any], x: jax.Array, u: jax.Array) -> jax.Array:
+        return drift_fn(self, params, x, u)
+
+    def diffusion(self, params: Dict[str, Any], x: jax.Array, u: jax.Array) -> jax.Array:
+        return diffusion_fn(self, params, x, u)
+
+
+def drift_fn(model: NeuralSDE, params: Dict[str, Any], x: jax.Array, u: jax.Array) -> jax.Array:
+    """Drift ``f(x,u)``: rigid-body prior + learned residual wrench.
+
+    Broadcasts over leading batch dims of ``x`` (u broadcasts alongside).
+    """
+    veh = model.vehicle
+    q = x[..., QUAT]
+    v = x[..., VEL]
+    omega = x[..., OMEGA]
+
+    # Motor wrench prior: [T, tau] = (scaled mixing) @ u. The per-axis scale
+    # factors are learnable log-corrections around the geometric prior.
+    mix = jnp.asarray(veh.mixing, x.dtype) * jnp.exp(params["motor"]["log_gain"])[:, None]
+    wrench = jnp.einsum("ij,...j->...i", mix, jnp.broadcast_to(u, x[..., : veh.n_motors].shape))
+    thrust = wrench[..., 0]
+    tau = wrench[..., 1:4]
+
+    # Learned residual wrench (body frame force + torque).
+    res = mlp_apply(params["residual"], _feat(x, u))
+    f_res = res[..., 0:3]
+    tau_res = res[..., 3:6]
+
+    # Translational: NED gravity + body->world rotated thrust (-z body) + residual.
+    e_z = jnp.zeros_like(v).at[..., 2].set(1.0)
+    f_body = f_res - thrust[..., None] * e_z
+    acc = _G * e_z + quat.qrotate(q, f_body) / veh.mass
+
+    # Rotational: Euler's equation with diagonal inertia prior.
+    J = jnp.asarray(veh.inertia, x.dtype)
+    Jw = J * omega
+    domega = (tau + tau_res - jnp.cross(omega, Jw)) / J
+
+    # Quaternion kinematics (Euclidean embedding; rollout renormalizes).
+    omega_q = jnp.concatenate([jnp.zeros_like(omega[..., :1]), omega], axis=-1)
+    dq = 0.5 * quat.qmul(q, omega_q)
+
+    return jnp.concatenate([v, acc, dq, domega], axis=-1)
+
+
+def diffusion_fn(model: NeuralSDE, params: Dict[str, Any], x: jax.Array, u: jax.Array) -> jax.Array:
+    """Diagonal diffusion on the 6 velocity states, zero elsewhere.
+
+    Returns the full 13-dim diagonal ``sigma`` so callers can treat the SDE
+    uniformly. ``softplus`` head keeps sigma >= 0; a learnable global
+    ``log_scale`` sets the overall noise magnitude (0 => deterministic ODE
+    limit, used for mean-dynamics flight configs, reference
+    ``num_particles: 1`` at ``launch/iris_sitl_traj_mpc.yaml:52``).
+    """
+    raw = mlp_apply(params["diffusion"], _feat(x, u))
+    sig6 = jax.nn.softplus(raw) * jnp.exp(params["diffusion_log_scale"])
+    zeros7 = jnp.zeros(x[..., 0:7].shape, x.dtype)
+    # layout: pos(0:3)=0, vel(3:6)=sig, quat(6:10)=0, omega(10:13)=sig
+    return jnp.concatenate([zeros7[..., 0:3], sig6[..., 0:3], zeros7[..., 0:4], sig6[..., 3:6]], axis=-1)
+
+
+def _init_mlp(rng: jax.Array, sizes, scale_last: float = 1e-3) -> Dict[str, np.ndarray]:
+    """He-init MLP; near-zero last layer so the physics prior dominates at init."""
+    params = {}
+    keys = jax.random.split(rng, len(sizes) - 1)
+    for i, (fan_in, fan_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+        s = scale_last if i == len(sizes) - 2 else float(np.sqrt(2.0 / fan_in))
+        params[f"w{i}"] = np.asarray(jax.random.normal(keys[i], (fan_in, fan_out)) * s, np.float32)
+        params[f"b{i}"] = np.zeros((fan_out,), np.float32)
+    return params
+
+
+def init_params(rng: jax.Array, model: NeuralSDE, hidden: int = 64) -> Dict[str, Any]:
+    """Fresh parameter pytree for a model (checkpoint-compatible layout)."""
+    k_res, k_dif = jax.random.split(rng)
+    feat = 9 + model.n_u
+    return {
+        "motor": {"log_gain": np.zeros((4,), np.float32)},
+        "residual": _init_mlp(k_res, (feat, hidden, hidden, 6)),
+        "diffusion": _init_mlp(k_dif, (feat, hidden, _DIFF_DIM), scale_last=1e-2),
+        "diffusion_log_scale": np.float32(np.log(0.1)),
+    }

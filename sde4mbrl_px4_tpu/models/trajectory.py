@@ -1,0 +1,114 @@
+"""Reference-trajectory tables and the jittable ``state_from_traj`` sampler (L1).
+
+The reference's trajectory CSVs have header columns
+``t,x,y,z,vx,vy,vz,ax,ay,az,yaw`` in ENU (reference
+``geometric_controller.cpp:463``, header parse at :449-476) and are sampled
+by the external ``state_from_traj(t) -> x(13)`` closure, jitted with a
+scalar time argument (``sde_control.py:694``), returning the full 13-state
+target.
+
+Here the CSV is preprocessed once on host into a dense knot table of
+13-states (attitude from differential flatness: ``acc + g`` and yaw ->
+quaternion, body rates from the yaw-rate finite difference), optionally
+converted ENU->NED to match FCU-frame states, and sampled on device with a
+branch-free ``searchsorted`` + linear interpolation (quaternion re-normalized
+after lerp). Static shapes => one compile, O(log N) per sample.
+"""
+from __future__ import annotations
+
+import io
+import os
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sde4mbrl_px4_tpu.core import quaternion as quat
+from sde4mbrl_px4_tpu.core.frames import enu2ned
+
+__all__ = ["TrajectoryTable", "load_trajectory_csv", "make_state_from_traj"]
+
+_G = 9.81
+_REQUIRED = ("t", "x", "y", "z", "vx", "vy", "vz", "ax", "ay", "az", "yaw")
+
+
+class TrajectoryTable(NamedTuple):
+    """Dense knot table: times (N,) and 13-states (N, 13)."""
+
+    times: jax.Array
+    states: jax.Array
+
+    @property
+    def duration(self) -> float:
+        return float(self.times[-1])
+
+
+def load_trajectory_csv(path: str, convert_to_ned: bool = True) -> TrajectoryTable:
+    """Parse a reference-format trajectory CSV into a knot table.
+
+    Missing cells become NaN then 0 (the reference tolerates a trailing
+    missing column, ``geometric_controller.cpp:489-503``).
+    """
+    path = os.path.expanduser(path)
+    with open(path, "r") as f:
+        text = f.read()
+    return parse_trajectory_csv(text, convert_to_ned=convert_to_ned)
+
+
+def parse_trajectory_csv(text: str, convert_to_ned: bool = True) -> TrajectoryTable:
+    header, *rows = [ln for ln in text.strip().splitlines() if ln.strip()]
+    cols = [c.strip() for c in header.split(",")]
+    missing = [c for c in _REQUIRED if c not in cols]
+    if missing:
+        raise ValueError(f"trajectory CSV missing columns {missing}; has {cols}")
+    idx = {c: cols.index(c) for c in _REQUIRED}
+
+    data = np.genfromtxt(io.StringIO("\n".join(rows)), delimiter=",", dtype=np.float64)
+    data = np.atleast_2d(data)
+    data = np.nan_to_num(data, nan=0.0)
+
+    t = data[:, idx["t"]]
+    pos = data[:, [idx["x"], idx["y"], idx["z"]]]
+    vel = data[:, [idx["vx"], idx["vy"], idx["vz"]]]
+    acc = data[:, [idx["ax"], idx["ay"], idx["az"]]]
+    yaw = data[:, idx["yaw"]]
+
+    # Differential-flatness attitude in ENU: body z along (a + g_up).
+    g_up = np.array([0.0, 0.0, _G])
+    q = np.asarray(quat.acc_yaw_to_q(jnp.asarray(acc + g_up), jnp.asarray(yaw)))
+
+    # Body-rate prior: yaw rate about body z only (the CSV carries no rates;
+    # the reference baseline also only tracks yaw kinematics).
+    if len(t) > 1:
+        yaw_rate = np.gradient(np.unwrap(yaw), t, edge_order=1)
+    else:
+        yaw_rate = np.zeros_like(yaw)
+    omega = np.stack([np.zeros_like(yaw_rate), np.zeros_like(yaw_rate), yaw_rate], axis=-1)
+
+    states = np.concatenate([pos, vel, q, omega], axis=-1).astype(np.float32)
+    if convert_to_ned:
+        states = np.asarray(enu2ned(jnp.asarray(states)))
+    return TrajectoryTable(times=jnp.asarray(t, jnp.float32), states=jnp.asarray(states))
+
+
+def make_state_from_traj(table: TrajectoryTable) -> Callable[[jax.Array], jax.Array]:
+    """Build the jittable sampler ``state_from_traj(t) -> x(13)``.
+
+    Clamps to the endpoints outside ``[t_0, t_N]`` (the reference holds the
+    last setpoint past the end, ``geometric_controller.cpp:224-237``).
+    Works for scalar or batched ``t``.
+    """
+    times, states = table.times, table.states
+
+    def state_from_traj(t: jax.Array) -> jax.Array:
+        t = jnp.asarray(t, times.dtype)
+        hi = jnp.clip(jnp.searchsorted(times, t, side="right"), 1, times.shape[0] - 1)
+        lo = hi - 1
+        t0, t1 = times[lo], times[hi]
+        alpha = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+        x = states[lo] + alpha[..., None] * (states[hi] - states[lo])
+        q = quat.qnormalize(x[..., 6:10])
+        return jnp.concatenate([x[..., 0:6], q, x[..., 10:13]], axis=-1)
+
+    return state_from_traj

@@ -1,0 +1,1 @@
+from sde4mbrl_px4_tpu.solver.apg import APGConfig, APGState, apg_solve, box_project  # noqa: F401

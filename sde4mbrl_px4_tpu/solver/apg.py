@@ -1,0 +1,270 @@
+"""Accelerated proximal-gradient (APG) trajectory optimizer (L4).
+
+The reference's solver is the external "MPC-based Accelerated Gradient
+Descent Solver" (named at ``msg/OptMPCState.msg:1``) configured by the
+``apg_mpc`` YAML block (``launch/iris_sitl_traj_mpc.yaml:55-85``):
+Nesterov-style momentum (``beta_k = k/(k+3)`` when ``moment_scale`` is null,
+per the comment at ``iris_sitl_traj_mpc.yaml:63-64``), Armijo backtracking
+linesearch (``coef``/``decrease_factor``/``increase_factor``/``maxls``/
+``reset_option``), box projection of the controls (``enforce_ubound``,
+``input_constr.input_bound``), and ``atol``/``rtol``/
+``max_no_improvement_iter`` stopping.
+
+TPU-first design (SURVEY.md §7 "hard parts"):
+- the ENTIRE solve — up to ``max_iter`` gradient steps, each with up to
+  ``maxls`` linesearch cost evaluations — is one ``lax.while_loop`` inside
+  one jitted XLA program: zero host round-trips in the hot loop;
+- the branchy Armijo search is an inner ``lax.while_loop`` on device;
+- early exit reproduces the reference's observable iteration-count
+  semantics (``num_steps``, ``avg_linesearch``, ``avg_stepsize`` stats
+  published in ``OptMPCState``, written at ``sde_control.py:444-450``);
+- the whole function is pure and vmappable => batched scenarios shard over
+  the device mesh with `pjit` unchanged.
+
+The optimizer state pytree exposes exactly the fields the reference reads
+off the external solver's state: ``yk, avg_linesearch, stepsize, num_steps,
+grad_sqr, avg_stepsize, init_cost, opt_cost`` (``sde_control.py:444-450``
+and ``:707``).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["APGConfig", "APGState", "apg_solve", "box_project"]
+
+
+class APGConfig(NamedTuple):
+    """Static solver configuration (hashable; safe as a jit static arg)."""
+
+    max_iter: int = 200
+    max_no_improvement_iter: int = 200
+    stepsize: float = 1.0          # used only when linesearch is disabled
+    moment_scale: Optional[float] = None
+    beta_init: float = 0.25
+    atol: float = 1e-8
+    rtol: float = 1e-6
+    # linesearch block
+    use_linesearch: bool = True
+    init_stepsize: float = 0.01
+    max_stepsize: float = 1.0
+    coef: float = 0.01
+    decrease_factor: float = 0.7
+    increase_factor: float = 1.3
+    reset_option: str = "increase"  # or "conservative"
+    maxls: int = 4
+
+    @staticmethod
+    def from_config(cfg: Dict[str, Any]) -> "APGConfig":
+        """Parse the ``apg_mpc`` YAML block (schema: SURVEY.md §2.10)."""
+        a = cfg["apg_mpc"]
+        ls = a.get("linesearch")
+        kw = dict(
+            max_iter=int(a.get("max_iter", 200)),
+            max_no_improvement_iter=int(a.get("max_no_improvement_iter", a.get("max_iter", 200))),
+            stepsize=float(a.get("stepsize", 1.0)),
+            moment_scale=None if a.get("moment_scale") is None else float(a["moment_scale"]),
+            beta_init=float(a.get("beta_init", 0.25)),
+            atol=float(a.get("atol", 1e-8)),
+            rtol=float(a.get("rtol", 1e-6)),
+            use_linesearch=ls is not None,
+        )
+        if ls is not None:
+            kw.update(
+                init_stepsize=float(ls.get("init_stepsize", 0.01)),
+                max_stepsize=float(ls.get("max_stepsize", 1.0)),
+                coef=float(ls.get("coef", 0.01)),
+                decrease_factor=float(ls.get("decrease_factor", 0.7)),
+                increase_factor=float(ls.get("increase_factor", 1.3)),
+                reset_option=str(ls.get("reset_option", "increase")),
+                maxls=int(ls.get("maxls", 4)),
+            )
+        return APGConfig(**kw)
+
+
+class APGState(NamedTuple):
+    """Warm-start + observability state (field names are the reference's
+    contract, ``sde_control.py:444-450,707``)."""
+
+    yk: jax.Array             # (H, n_u) decision sequence (warm start)
+    num_steps: jax.Array      # iterations executed
+    stepsize: jax.Array       # last accepted stepsize
+    avg_stepsize: jax.Array
+    avg_linesearch: jax.Array # mean linesearch evals per iteration
+    grad_sqr: jax.Array      # squared gradient norm at exit
+    init_cost: jax.Array
+    opt_cost: jax.Array
+
+
+def box_project(u: jax.Array, lb: jax.Array, ub: jax.Array) -> jax.Array:
+    """Project onto the per-input box (``enforce_ubound: True``,
+    ``iris_sitl_traj_mpc.yaml:8-14``)."""
+    return jnp.clip(u, lb, ub)
+
+
+def _default_stats(y0: jax.Array) -> APGState:
+    z = jnp.float32(0.0)
+    return APGState(
+        yk=y0, num_steps=z, stepsize=z, avg_stepsize=z, avg_linesearch=z,
+        grad_sqr=z, init_cost=z, opt_cost=z,
+    )
+
+
+class _Carry(NamedTuple):
+    k: jax.Array
+    u: jax.Array             # accepted iterate
+    y: jax.Array             # extrapolated (momentum) point
+    f_u: jax.Array           # cost at accepted iterate
+    t: jax.Array             # current stepsize
+    best_f: jax.Array
+    best_u: jax.Array
+    no_improve: jax.Array
+    done: jax.Array
+    sum_t: jax.Array         # stepsize accumulator (for avg)
+    sum_ls: jax.Array        # linesearch-eval accumulator
+
+
+def apg_solve(
+    cost_fn: Callable[[jax.Array], jax.Array],
+    u_init: jax.Array,
+    lb: jax.Array,
+    ub: jax.Array,
+    cfg: APGConfig,
+) -> APGState:
+    """Minimize ``cost_fn`` over box-constrained control sequences.
+
+    ``cost_fn`` maps (H, n_u) -> scalar and must be jit-traceable and
+    differentiable (it closes over the SDE rollout). Returns the final
+    :class:`APGState` whose ``yk`` holds the best iterate found (NOT yet
+    shifted; the engine performs the receding-horizon shift).
+    """
+    vg = jax.value_and_grad(cost_fn)
+    proj = lambda u: box_project(u, lb, ub)
+
+    u0 = proj(u_init)
+    f0, g0 = vg(u0)
+
+    def linesearch(y, f_y, g, t0):
+        """Armijo backtracking on the projected-gradient mapping.
+
+        Accept u+ = proj(y - t g) when
+            f(u+) <= f(y) - coef * ||u+ - y||^2 / t
+        (sufficient decrease w.r.t. the gradient mapping; ``coef`` small =>
+        aggressive long steps, matching the schema comment
+        ``iris_sitl_traj_mpc.yaml:78``). Up to ``maxls`` halvings by
+        ``decrease_factor``; on total failure returns the last trial.
+        """
+
+        def cond(c):
+            t, n_ls, accepted, _, _ = c
+            return jnp.logical_and(n_ls < cfg.maxls, jnp.logical_not(accepted))
+
+        def body(c):
+            t, n_ls, _, _, _ = c
+            u_t = proj(y - t * g)
+            f_t = cost_fn(u_t)
+            d = u_t - y
+            ok = f_t <= f_y - cfg.coef * jnp.sum(d * d) / jnp.maximum(t, 1e-12)
+            t_next = jnp.where(ok, t, t * cfg.decrease_factor)
+            return (t_next, n_ls + 1, ok, u_t, f_t)
+
+        init = (t0, jnp.int32(0), jnp.bool_(False), y, f_y)
+        t, n_ls, ok, u_t, f_t = jax.lax.while_loop(cond, body, init)
+        return u_t, f_t, t, n_ls, ok
+
+    def outer_cond(c: _Carry) -> jax.Array:
+        return jnp.logical_and(c.k < cfg.max_iter, jnp.logical_not(c.done))
+
+    def outer_body(c: _Carry) -> _Carry:
+        f_y, g = vg(c.y)
+
+        if cfg.use_linesearch:
+            t0 = (
+                jnp.minimum(c.t * cfg.increase_factor, cfg.max_stepsize)
+                if cfg.reset_option == "increase"
+                else c.t
+            )
+            u_trial, f_trial, t_acc, n_ls, ok = linesearch(c.y, f_y, g, t0)
+        else:
+            t_acc = jnp.float32(cfg.stepsize)
+            u_trial = proj(c.y - t_acc * g)
+            f_trial = cost_fn(u_trial)
+            n_ls = jnp.int32(1)
+            ok = f_trial <= f_y
+
+        # On linesearch failure: stay put (the decreased stepsize carries to
+        # the next iteration, where ``reset_option`` re-scales it — the
+        # reference's maxls-bounded Armijo semantics,
+        # ``iris_sitl_traj_mpc.yaml:79-85``).
+        u_new = jnp.where(ok, u_trial, c.u)
+        f_new = jnp.where(ok, f_trial, c.f_u)
+
+        # Nesterov momentum: beta_k = k/(k+3) (moment_scale null), floored by
+        # beta_init at k=0; constant moment_scale otherwise. Momentum drops
+        # (adaptive restart) on linesearch failure or cost increase.
+        kf = c.k.astype(jnp.float32)
+        beta = (
+            jnp.float32(cfg.moment_scale)
+            if cfg.moment_scale is not None
+            else jnp.maximum(kf / (kf + 3.0), cfg.beta_init)
+        )
+        restart = jnp.logical_or(jnp.logical_not(ok), f_new > c.f_u)
+        y_new = jnp.where(restart, u_new, u_new + beta * (u_new - c.u))
+
+        improved = f_new < c.best_f - 1e-12
+        best_f = jnp.minimum(f_new, c.best_f)
+        best_u = jnp.where(improved, u_new, c.best_u)
+        no_improve = jnp.where(improved, 0, c.no_improve + 1)
+
+        # Stopping: cost-decrease tolerance (atol/rtol) on ACCEPTED steps
+        # (a failed linesearch keeps searching with a smaller stepsize), or
+        # stagnation for ``max_no_improvement_iter`` iterations.
+        df = jnp.abs(c.f_u - f_new)
+        converged = jnp.logical_and(ok, df <= cfg.atol + cfg.rtol * jnp.abs(c.f_u))
+        done = jnp.logical_or(converged, no_improve >= cfg.max_no_improvement_iter)
+
+        return _Carry(
+            k=c.k + 1,
+            u=u_new,
+            y=y_new,
+            f_u=f_new,
+            t=t_acc,
+            best_f=best_f,
+            best_u=best_u,
+            no_improve=no_improve,
+            done=done,
+            sum_t=c.sum_t + t_acc,
+            sum_ls=c.sum_ls + n_ls.astype(jnp.float32),
+        )
+
+    init = _Carry(
+        k=jnp.int32(0),
+        u=u0,
+        y=u0,
+        f_u=f0,
+        t=jnp.float32(cfg.init_stepsize if cfg.use_linesearch else cfg.stepsize),
+        best_f=f0,
+        best_u=u0,
+        no_improve=jnp.int32(0),
+        done=jnp.bool_(False),
+        sum_t=jnp.float32(0.0),
+        sum_ls=jnp.float32(0.0),
+    )
+    c = jax.lax.while_loop(outer_cond, outer_body, init)
+
+    # Exit gradient norm at the final iterate (one extra grad eval, outside
+    # the loop so the loop body stays minimal).
+    _, g_final = vg(c.best_u)
+    n_steps = jnp.maximum(c.k.astype(jnp.float32), 1.0)
+    return APGState(
+        yk=c.best_u,
+        num_steps=c.k.astype(jnp.float32),
+        stepsize=c.t,
+        avg_stepsize=c.sum_t / n_steps,
+        avg_linesearch=c.sum_ls / n_steps,
+        grad_sqr=jnp.sum(g_final * g_final),
+        init_cost=f0,
+        opt_cost=c.best_f,
+    )

@@ -1,0 +1,54 @@
+"""Test harness: force an 8-virtual-device CPU platform.
+
+Mirrors how the build plan tests multi-chip behavior without hardware
+(SURVEY.md §4): ``xla_force_host_platform_device_count=8`` gives a real
+8-device mesh on CPU; ``jax_platforms='cpu'`` overrides the axon/TPU
+backend the image registers at interpreter start.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def repo_root():
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(42)
+
+
+@pytest.fixture(scope="session")
+def iris_model():
+    from sde4mbrl_px4_tpu.models.sde_model import NeuralSDE, init_params
+    from sde4mbrl_px4_tpu.models.vehicles import iris_config
+
+    model = NeuralSDE(vehicle=iris_config())
+    params = init_params(jax.random.PRNGKey(0), model)
+    return model, jax.tree.map(jax.numpy.asarray, params)
+
+
+@pytest.fixture(scope="session")
+def iris_pos_bundle(repo_root):
+    """Loaded position-control MPC (shared across tests: compile once)."""
+    from sde4mbrl_px4_tpu.engine.mpc_loader import load_mpc_from_cfgfile
+
+    return load_mpc_from_cfgfile(os.path.join(repo_root, "configs/iris_posctrl_mpc.yaml"))
+
+
+@pytest.fixture(scope="session")
+def iris_traj_bundle(repo_root):
+    from sde4mbrl_px4_tpu.engine.mpc_loader import load_mpc_from_cfgfile
+
+    return load_mpc_from_cfgfile(os.path.join(repo_root, "configs/iris_traj_mpc.yaml"))

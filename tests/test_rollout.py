@@ -1,0 +1,137 @@
+"""Unit tests for the SDE rollout (L2): physics sanity, determinism,
+particle statistics, time-step schedule."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sde4mbrl_px4_tpu.core.types import hover_state
+from sde4mbrl_px4_tpu.models.sde_model import NeuralSDE, init_params, diffusion_fn
+from sde4mbrl_px4_tpu.models.vehicles import iris_config
+from sde4mbrl_px4_tpu.ops.rollout import make_time_steps, rollout_mean, rollout_sde
+
+_G = 9.81
+
+
+def _zero_residual(params):
+    """Strip the learned residual/diffusion so only the physics prior acts."""
+    p = jax.tree.map(lambda a: a, params)
+    p["residual"] = {k: jnp.zeros_like(v) for k, v in p["residual"].items()}
+    p["diffusion_log_scale"] = jnp.float32(-30.0)
+    return p
+
+
+def test_make_time_steps_schedule():
+    ts = make_time_steps(20, 5, 0.01, 0.1)
+    assert ts.shape == (20,)
+    np.testing.assert_allclose(ts[:5], 0.01)
+    np.testing.assert_allclose(ts[5:], 0.1)
+
+
+def test_free_fall_matches_closed_form(iris_model):
+    """Zero thrust => NED free fall: z(t) = g t^2 / 2, vz = g t."""
+    model, params = iris_model
+    p = _zero_residual(params)
+    p["motor"]["log_gain"] = jnp.full((4,), -30.0)  # kill motor wrench
+    H = 50
+    ts = jnp.full((H,), 0.01)
+    u = jnp.zeros((H, 4))
+    path = rollout_mean(model, p, hover_state(), u, ts)
+    T = 0.5
+    dt = 0.01
+    # Exact explicit-Euler closed form: z_N = g dt^2 N(N-1)/2, vz_N = g T.
+    z_euler = _G * dt * dt * H * (H - 1) / 2
+    assert abs(float(path[-1, 2]) - z_euler) < 1e-4
+    assert abs(float(path[-1, 5]) - _G * T) < 1e-3
+    # attitude untouched
+    np.testing.assert_allclose(path[-1, 6:10], jnp.array([1, 0, 0, 0]), atol=1e-6)
+
+
+def test_hover_equilibrium(iris_model):
+    """uref hover thrust balances gravity at the physics prior."""
+    model, params = iris_model
+    p = _zero_residual(params)
+    H = 20
+    ts = jnp.full((H,), 0.05)
+    u = jnp.full((H, 4), model.vehicle.hover_u)
+    path = rollout_mean(model, p, hover_state(), u, ts)
+    # Position drift stays tiny over 1 s.
+    assert float(jnp.max(jnp.abs(path[:, 0:3]))) < 1e-3
+    assert float(jnp.max(jnp.abs(path[:, 3:6]))) < 1e-3
+
+
+def test_torque_produces_rotation(iris_model):
+    """Differential motor commands produce roll/pitch rates of the right sign."""
+    model, params = iris_model
+    p = _zero_residual(params)
+    H = 10
+    ts = jnp.full((H,), 0.01)
+    hov = model.vehicle.hover_u
+    # front motors (positive body-x) get more thrust -> pitch-up torque (+tau_y).
+    mix = model.vehicle.mixing
+    u = jnp.full((H, 4), hov)
+    u = u.at[:, 0].set(hov + 0.1).at[:, 1].set(hov - 0.1)  # m1 front-right, m2 rear-left
+    path = rollout_mean(model, p, hover_state(), u, ts)
+    tau = mix @ np.asarray(u[0])
+    omega_end = np.asarray(path[-1, 10:13])
+    # sign of final body rates matches sign of applied torque
+    for ax in range(3):
+        if abs(tau[1 + ax]) > 1e-6:
+            assert np.sign(omega_end[ax]) == np.sign(tau[1 + ax])
+
+
+def test_rollout_determinism(iris_model):
+    model, params = iris_model
+    H = 20
+    ts = jnp.full((H,), 0.05)
+    u = jnp.full((H, 4), 0.71)
+    rng = jax.random.PRNGKey(7)
+    a1, s1 = rollout_sde(model, params, hover_state(), u, ts, rng, 8)
+    a2, s2 = rollout_sde(model, params, hover_state(), u, ts, rng, 8)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_particles_spread_scales_with_sigma(iris_model):
+    model, params = iris_model
+    H = 10
+    ts = jnp.full((H,), 0.05)
+    u = jnp.full((H, 4), 0.71)
+    rng = jax.random.PRNGKey(3)
+
+    p_small = jax.tree.map(lambda a: a, params)
+    p_small["diffusion_log_scale"] = jnp.float32(np.log(0.01))
+    p_big = jax.tree.map(lambda a: a, params)
+    p_big["diffusion_log_scale"] = jnp.float32(np.log(1.0))
+
+    xs_s, _ = rollout_sde(model, p_small, hover_state(), u, ts, rng, 64)
+    xs_b, _ = rollout_sde(model, p_big, hover_state(), u, ts, rng, 64)
+    spread_s = float(jnp.std(xs_s[:, -1, 3:6]))
+    spread_b = float(jnp.std(xs_b[:, -1, 3:6]))
+    assert spread_b > 10 * spread_s
+
+
+def test_deterministic_flag_matches_mean(iris_model):
+    model, params = iris_model
+    H = 10
+    ts = jnp.full((H,), 0.05)
+    u = jnp.full((H, 4), 0.71)
+    rng = jax.random.PRNGKey(5)
+    xs, sigs = rollout_sde(model, params, hover_state(), u, ts, rng, 1, deterministic=True)
+    mean_path = rollout_mean(model, params, hover_state(), u, ts)
+    np.testing.assert_allclose(np.asarray(xs[0]), np.asarray(mean_path), atol=1e-6)
+    assert sigs.shape == (1, H, 13)
+    # diffusion reported positive on velocity rows, zero elsewhere
+    assert float(jnp.min(sigs[..., 3:6])) > 0
+    np.testing.assert_allclose(np.asarray(sigs[..., 0:3]), 0.0)
+    np.testing.assert_allclose(np.asarray(sigs[..., 6:10]), 0.0)
+
+
+def test_quaternion_stays_normalized(iris_model):
+    model, params = iris_model
+    H = 40
+    ts = jnp.full((H,), 0.05)
+    rng = jax.random.PRNGKey(11)
+    u = jax.random.uniform(rng, (H, 4), minval=0.3, maxval=1.0)
+    xs, _ = rollout_sde(model, params, hover_state(), u, ts, rng, 4)
+    norms = jnp.linalg.norm(xs[..., 6:10], axis=-1)
+    np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-5)
