@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: receding-horizon MPC solve rate on the flagship iris config.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference controller must sustain the 20 Hz control indexing
+period (plan step 0 dt = 50 ms, ``launch/iris_sitl_traj_mpc.yaml:46``,
+``sde_control.py:167,292``) — i.e. 20 solves/s — on CPU (the reference pins
+JAX to CPU, ``sde_control.py:6``). ``vs_baseline`` is therefore
+``solves_per_sec / 20``.
+
+Workload: the real flight loop — sequential warm-started trajectory-tracking
+solves along the lemniscate, state advanced by the model, one solve per
+control period — exactly the solver-process hot loop
+(``sde_control.py:365-450``). Detailed stats (p50/p99 latency, batched
+throughput) go to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    from sde4mbrl_px4_tpu.engine.mpc_loader import load_mpc_from_cfgfile
+
+    _log(f"devices: {jax.devices()}")
+
+    t0 = time.time()
+    cfg, (reset_fn, mpc_fn), state_from_traj, bundle = load_mpc_from_cfgfile(
+        os.path.join(here, "configs", "iris_traj_mpc.yaml")
+    )
+    dt = float(cfg["_time_steps"][0])
+
+    rng = jax.random.PRNGKey(0)
+    x = state_from_traj(0.0)
+    st = reset_fn(x, rng, x)
+
+    jm = jax.jit(mpc_fn)
+    sol = jm(x, rng, st, jnp.float32(0.0), x)
+    jax.block_until_ready(sol.u_opt)
+    _log(f"compile+warm: {time.time()-t0:.1f}s")
+
+    # Warm-started closed-loop sequence (plant = predicted next state).
+    n_warm, n_meas = 10, 60
+    t = 0.0
+    lat = []
+    for k in range(n_warm + n_meas):
+        t1 = time.perf_counter()
+        sol = jm(sol.x_evol[1], sol.rng, sol.opt_state, jnp.float32(t), x)
+        jax.block_until_ready(sol.u_opt)
+        if k >= n_warm:
+            lat.append(time.perf_counter() - t1)
+        t += dt
+
+    lat = np.asarray(lat)
+    solves_per_sec = 1.0 / lat.mean()
+    _log(
+        f"seq solve latency: mean={lat.mean()*1e3:.2f}ms p50={np.percentile(lat,50)*1e3:.2f}ms "
+        f"p99={np.percentile(lat,99)*1e3:.2f}ms  steps/solve={float(sol.opt_state.num_steps):.0f}"
+    )
+
+    print(json.dumps({
+        "metric": "mpc_solves_per_sec_iris_traj",
+        "value": round(float(solves_per_sec), 3),
+        "unit": "solves/s",
+        "vs_baseline": round(float(solves_per_sec) / 20.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,9 +89,17 @@ def _resolve_model(cfg: Dict[str, Any]) -> Tuple[NeuralSDE, Dict[str, Any]]:
 
 
 def make_mpc_from_config(
-    cfg: Dict[str, Any], convert_to_enu: bool = True
+    cfg: Dict[str, Any],
+    convert_to_enu: bool = True,
+    particle_sharding=None,
 ) -> Tuple[Dict[str, Any], Tuple[Callable, Callable], Optional[Callable], MPCBundle]:
-    """Core factory; ``cfg`` is an already-parsed config mapping."""
+    """Core factory; ``cfg`` is an already-parsed config mapping.
+
+    ``particle_sharding``: optional ``NamedSharding`` for the (H, P, 13)
+    Brownian-increment block — shards the Monte-Carlo particle axis of every
+    rollout inside the solve over the mesh's ``mc`` axis (L6; see
+    ``parallel/mesh.py``).
+    """
     model, params = _resolve_model(cfg)
     n_u = model.n_u
 
@@ -181,7 +189,8 @@ def make_mpc_from_config(
         else:
             def seq_cost(u_seq):
                 x_paths, sigmas = rollout_sde(
-                    model, params, x, u_seq, time_steps, rng_noise, num_particles
+                    model, params, x, u_seq, time_steps, rng_noise, num_particles,
+                    particle_sharding=particle_sharding,
                 )
                 return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev)
 

@@ -97,6 +97,7 @@ def rollout_sde(
     rng: jax.Array,
     num_particles: int,
     deterministic: bool = False,
+    particle_sharding=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Monte-Carlo EM rollout.
 
@@ -109,6 +110,10 @@ def rollout_sde(
         deterministic: zero the Brownian increments (mean dynamics) while
             still reporting sigma along the path for the uncertainty cost —
             the reference's ``num_particles: 1`` flight configuration.
+        particle_sharding: optional ``NamedSharding`` with spec
+            ``P(None, 'mc', None)`` constraining the (H, P, 13) noise block;
+            GSPMD then propagates the particle sharding through the scan and
+            lowers the cost's particle-mean to a ``psum`` over the mesh.
 
     Returns:
         (x_paths (P, H+1, 13), sigma_paths (P, H, 13)) — the diffusion
@@ -120,6 +125,8 @@ def rollout_sde(
         noise = jnp.zeros((H, P, 13), dtype=x0.dtype)
     else:
         noise = jax.random.normal(rng, (H, P, 13), dtype=x0.dtype)
+    if particle_sharding is not None:
+        noise = jax.lax.with_sharding_constraint(noise, particle_sharding)
     x0_b = jnp.broadcast_to(x0, (P, 13))
 
     def body(x, inp):

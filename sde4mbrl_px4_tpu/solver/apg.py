@@ -147,14 +147,18 @@ def apg_solve(
     f0, g0 = vg(u0)
 
     def linesearch(y, f_y, g, t0):
-        """Armijo backtracking on the projected-gradient mapping.
+        """Backtracking linesearch on the proximal quadratic upper bound.
 
-        Accept u+ = proj(y - t g) when
-            f(u+) <= f(y) - coef * ||u+ - y||^2 / t
-        (sufficient decrease w.r.t. the gradient mapping; ``coef`` small =>
-        aggressive long steps, matching the schema comment
-        ``iris_sitl_traj_mpc.yaml:78``). Up to ``maxls`` halvings by
-        ``decrease_factor``; on total failure returns the last trial.
+        Accept ``u+ = proj(y - t g)`` when
+
+            f(u+) <= f(y) + (1 - coef) * <g, u+ - y> + ||u+ - y||^2 / (2 t)
+
+        — the FISTA/ISTA majorization test (guarantees ``t <= 1/L`` locally,
+        so accepted steps are stable even under Nesterov extrapolation),
+        tightened by ``coef``: smaller ``coef`` => weaker demand => larger
+        accepted steps, matching the schema comment "the smaller the larger
+        step size" (``iris_sitl_traj_mpc.yaml:78``). Up to ``maxls`` trials
+        shrinking by ``decrease_factor``.
         """
 
         def cond(c):
@@ -166,7 +170,12 @@ def apg_solve(
             u_t = proj(y - t * g)
             f_t = cost_fn(u_t)
             d = u_t - y
-            ok = f_t <= f_y - cfg.coef * jnp.sum(d * d) / jnp.maximum(t, 1e-12)
+            bound = (
+                f_y
+                + (1.0 - cfg.coef) * jnp.sum(g * d)
+                + jnp.sum(d * d) / (2.0 * jnp.maximum(t, 1e-12))
+            )
+            ok = f_t <= bound
             t_next = jnp.where(ok, t, t * cfg.decrease_factor)
             return (t_next, n_ls + 1, ok, u_t, f_t)
 

@@ -1,0 +1,184 @@
+"""Unit tests for the APG solver (L4): convex problems with known optima,
+box projection, stats semantics, early stopping."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sde4mbrl_px4_tpu.solver.apg import APGConfig, APGState, apg_solve, box_project
+
+
+def _solve_quadratic(target, lb=0.0, ub=1.0, **over):
+    """min ||u - target||^2 over the box."""
+    cfg = APGConfig(
+        max_iter=over.pop("max_iter", 300),
+        max_no_improvement_iter=over.pop("max_no_improvement_iter", 50),
+        init_stepsize=over.pop("init_stepsize", 0.01),
+        max_stepsize=over.pop("max_stepsize", 1.0),
+        **over,
+    )
+    H, n = target.shape
+
+    def cost(u):
+        d = u - target
+        return jnp.sum(d * d)
+
+    u0 = jnp.full((H, n), 0.5)
+    lbv, ubv = jnp.full((n,), lb), jnp.full((n,), ub)
+    return apg_solve(cost, u0, lbv, ubv, cfg)
+
+
+def test_quadratic_interior_optimum():
+    target = jnp.full((5, 3), 0.7)
+    st = _solve_quadratic(target)
+    np.testing.assert_allclose(np.asarray(st.yk), 0.7, atol=1e-3)
+    assert float(st.opt_cost) < 1e-5
+    assert float(st.init_cost) == pytest.approx(5 * 3 * 0.04, rel=1e-5)
+
+
+def test_box_clipping_active():
+    """Unconstrained optimum outside the box -> solution on the boundary."""
+    target = jnp.full((4, 2), 1.5)
+    st = _solve_quadratic(target)
+    np.testing.assert_allclose(np.asarray(st.yk), 1.0, atol=1e-6)
+
+
+def test_ill_conditioned_quadratic():
+    """Anisotropic quadratic (condition number 100): APG still converges."""
+    scales = jnp.array([10.0, 1.0])
+    target = jnp.full((3, 2), 0.6)
+
+    def cost(u):
+        d = (u - target) * scales
+        return jnp.sum(d * d)
+
+    cfg = APGConfig(max_iter=1000, max_no_improvement_iter=200, rtol=1e-8)
+    st = apg_solve(cost, jnp.full((3, 2), 0.5), jnp.zeros(2), jnp.ones(2), cfg)
+    np.testing.assert_allclose(np.asarray(st.yk), 0.6, atol=1e-2)
+
+
+def test_stats_fields_populated():
+    target = jnp.full((5, 3), 0.7)
+    st = _solve_quadratic(target)
+    assert float(st.num_steps) >= 1
+    assert float(st.avg_linesearch) >= 1.0
+    assert float(st.avg_stepsize) > 0
+    assert float(st.stepsize) > 0
+    assert float(st.opt_cost) <= float(st.init_cost)
+    assert float(st.grad_sqr) >= 0
+
+
+def test_early_stop_at_optimum():
+    """Starting at the optimum stops almost immediately via atol/rtol."""
+    target = jnp.full((4, 2), 0.5)
+    st = _solve_quadratic(target)
+    assert float(st.num_steps) <= 3
+    assert float(st.opt_cost) == pytest.approx(0.0, abs=1e-10)
+
+
+def test_max_iter_respected():
+    target = jnp.full((4, 2), 0.9)
+    st = _solve_quadratic(target, max_iter=7, max_no_improvement_iter=1000)
+    assert float(st.num_steps) <= 7
+
+
+def test_monotone_best_cost():
+    """opt_cost is the best iterate's cost - never above init."""
+    rs = np.random.RandomState(0)
+    A = jnp.asarray(rs.randn(6, 6).astype(np.float32))
+
+    def cost(u):
+        v = (A @ u).ravel()
+        return jnp.sum(v * v) + jnp.sum(jnp.sin(3 * u))
+
+    cfg = APGConfig(max_iter=100, max_no_improvement_iter=30)
+    st = apg_solve(cost, jnp.full((6, 2), 0.5), jnp.zeros(2), jnp.ones(2), cfg)
+    assert float(st.opt_cost) <= float(st.init_cost) + 1e-9
+
+
+def test_no_linesearch_mode():
+    cfg = APGConfig(use_linesearch=False, stepsize=0.1, max_iter=200,
+                    max_no_improvement_iter=50)
+    target = jnp.full((3, 2), 0.7)
+
+    def cost(u):
+        d = u - target
+        return jnp.sum(d * d)
+
+    st = apg_solve(cost, jnp.full((3, 2), 0.5), jnp.zeros(2), jnp.ones(2), cfg)
+    np.testing.assert_allclose(np.asarray(st.yk), 0.7, atol=1e-3)
+
+
+def test_conservative_reset_option():
+    cfg = APGConfig(reset_option="conservative", max_iter=300,
+                    max_no_improvement_iter=50)
+    target = jnp.full((3, 2), 0.8)
+
+    def cost(u):
+        d = u - target
+        return jnp.sum(d * d)
+
+    st = apg_solve(cost, jnp.full((3, 2), 0.5), jnp.zeros(2), jnp.ones(2), cfg)
+    np.testing.assert_allclose(np.asarray(st.yk), 0.8, atol=1e-2)
+
+
+def test_moment_scale_constant():
+    cfg = APGConfig(moment_scale=0.5, max_iter=300, max_no_improvement_iter=50)
+    target = jnp.full((3, 2), 0.8)
+
+    def cost(u):
+        d = u - target
+        return jnp.sum(d * d)
+
+    st = apg_solve(cost, jnp.full((3, 2), 0.5), jnp.zeros(2), jnp.ones(2), cfg)
+    np.testing.assert_allclose(np.asarray(st.yk), 0.8, atol=1e-2)
+
+
+def test_box_project():
+    u = jnp.array([[-1.0, 0.5, 2.0]])
+    np.testing.assert_allclose(
+        np.asarray(box_project(u, jnp.float32(0.0), jnp.float32(1.0))),
+        [[0.0, 0.5, 1.0]],
+    )
+
+
+def test_from_config_parses_reference_schema():
+    cfg = {
+        "apg_mpc": {
+            "stepsize": 1.0,
+            "max_iter": 200,
+            "max_no_improvement_iter": 200,
+            "moment_scale": None,
+            "beta_init": 0.25,
+            "atol": 1e-8,
+            "rtol": 1e-6,
+            "linesearch": {
+                "init_stepsize": 0.01,
+                "max_stepsize": 1.0,
+                "coef": 0.01,
+                "decrease_factor": 0.7,
+                "increase_factor": 1.3,
+                "reset_option": "increase",
+                "maxls": 4,
+            },
+        }
+    }
+    a = APGConfig.from_config(cfg)
+    assert a.max_iter == 200 and a.use_linesearch and a.maxls == 4
+    assert a.moment_scale is None and a.reset_option == "increase"
+
+
+def test_vmappable():
+    """The solver is a pure function: vmap over a batch of targets."""
+    targets = jnp.stack([jnp.full((3, 2), 0.3), jnp.full((3, 2), 0.9)])
+    cfg = APGConfig(max_iter=200, max_no_improvement_iter=50)
+
+    def solve_one(tgt):
+        return apg_solve(
+            lambda u: jnp.sum((u - tgt) ** 2),
+            jnp.full((3, 2), 0.5), jnp.zeros(2), jnp.ones(2), cfg
+        ).yk
+
+    out = jax.vmap(solve_one)(targets)
+    np.testing.assert_allclose(np.asarray(out[0]), 0.3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out[1]), 0.9, atol=1e-2)
