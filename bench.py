@@ -35,6 +35,7 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, here)
     from sde4mbrl_px4_tpu.engine.mpc_loader import load_mpc_from_cfgfile
+    from sde4mbrl_px4_tpu.core.frames import enu2ned
 
     _log(f"devices: {jax.devices()}")
 
@@ -45,7 +46,7 @@ def main():
     dt = float(cfg["_time_steps"][0])
 
     rng = jax.random.PRNGKey(0)
-    x = state_from_traj(0.0)
+    x = enu2ned(state_from_traj(0.0))  # ENU ref -> NED state
     st = reset_fn(x, rng, x)
 
     jm = jax.jit(mpc_fn)

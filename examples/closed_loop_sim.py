@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Closed-loop demo: async MPC engine vs simulated FCU over real UDP MAVLink.
+
+Reproduces the reference's SITL topology (SURVEY.md §1 L0-L4) without
+ROS/Gazebo:
+
+    FCUSim (SDE plant + watchdog + blend)           SDEControlNode
+      |  MPC_FULL_STATE (id 367)  --- UDP --->  ingress -> automata -> pick
+      |  <--- UDP --- MPC_MOTORS_CMD (id 368)   solver thread (doorbell)
+
+Usage:  python examples/closed_loop_sim.py [--seconds 4] [--cpu]
+"""
+import argparse
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=6.0)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--port", type=int, default=24998)
+    ap.add_argument("--state-rate", type=float, default=50.0)
+    ap.add_argument("--time-scale", type=float, default=1.0)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from sde4mbrl_px4_tpu.core.types import CTRL_TRAJ_ACTIVE, CTRL_TRAJ_IDLE
+    from sde4mbrl_px4_tpu.io.engine_runtime import SDEControlNode
+    from sde4mbrl_px4_tpu.io.mavlink import MavlinkUDP
+    from sde4mbrl_px4_tpu.models.sde_model import NeuralSDE
+    from sde4mbrl_px4_tpu.models.params_io import load_params
+    from sde4mbrl_px4_tpu.models.vehicles import iris_config
+    from sde4mbrl_px4_tpu.sim.plant import FCUSim, SDEPlant
+    from sde4mbrl_px4_tpu.core.frames import enu2ned
+
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+    # Simulation clock: the engine's automata and command stamps follow the
+    # PLANT's clock, exactly as the reference follows the FCU time base.
+    class SimClock:
+        t = 0.0
+        def __call__(self):
+            return self.t
+    clock = SimClock()
+
+    print("== compiling engine (two MPC solvers) ==", flush=True)
+    node = SDEControlNode(
+        os.path.join(here, "configs/iris_traj_mpc.yaml"),
+        os.path.join(here, "configs/iris_posctrl_mpc.yaml"),
+        seed=0,
+        now_fn=clock,
+    )
+    node.start()
+    node.serve_mavlink(f"127.0.0.1:{args.port}")
+
+    # Plant: same learned model as the controller (perfect-model experiment).
+    params, _ = load_params(os.path.join(here, "configs/models/iris_sde.pkl"))
+    model = NeuralSDE(vehicle=iris_config())
+    plant = SDEPlant(model, params, sim_dt=0.005)
+    # state_from_traj is ENU at the API boundary; the plant runs NED.
+    start = np.asarray(enu2ned(node.ctrl.traj.state_from_traj(0.0)))
+    plant.reset(start)
+    fcu = FCUSim(plant, state_rate_hz=args.state_rate)
+
+    # FCU-side UDP endpoint.
+    link = MavlinkUDP(f"127.0.0.1:{args.port}", mode="udpout")
+
+    stop = threading.Event()
+
+    def cmd_rx_loop():
+        while not stop.is_set():
+            msg = link.recv_match(type="MPC_MOTORS_CMD", timeout=0.05)
+            if msg is not None:
+                fcu.push_cmd(msg.motor_val_des, msg.thrust_and_angrate_des,
+                             msg.mpc_on, msg.weight_motors)
+
+    rx = threading.Thread(target=cmd_rx_loop, daemon=True)
+    rx.start()
+
+    # Mission script: init -> idle -> start trajectory (reference CLI verbs
+    # controller_init / controller_idle / weight_motors / controller_on).
+    assert node.initialize_mpc()
+    node.set_mode(CTRL_TRAJ_IDLE)
+    node.set_mode(0, weight_motors=100)  # motor passthrough (blend knob)
+
+    state_dt = 1.0 / args.state_rate
+    n_steps = int(args.seconds / state_dt)
+    errs = []
+    t_started = None
+    for k in range(n_steps):
+        clock.t = plant.t
+        x, t_usec = fcu.full_state_msg()
+        link.send_full_state(int(t_usec), x)
+        time.sleep(state_dt * args.time_scale)  # pace sim ~ real time
+        fcu.run_control_period(state_dt)
+        if args.verbose and k % 10 == 0:
+            c = fcu.last_cmd
+            print(f"t={plant.t:5.2f} pos={plant.x[:3].round(2)} "
+                  f"cmd={'None' if c is None else np.round(c[0][:4],3)} "
+                  f"mpc_on={'-' if c is None else c[2]} idx={node._last_index} "
+                  f"status={fcu.status}", flush=True)
+
+        if k == int(0.5 / state_dt):  # after 0.5 s of idle, start the traj
+            node.set_mode(CTRL_TRAJ_ACTIVE)
+            t_started = time.time()
+        if t_started is not None and node.ctrl.automata.run_trajectory:
+            t_traj = node.ctrl.automata.trajec_time
+            ref = np.asarray(enu2ned(node.ctrl.traj.state_from_traj(float(t_traj))))
+            # Skip the trajectory-entry transient: the reference CSVs start
+            # at full speed (v(0) ~ 1.7 m/s) while the vehicle idles at
+            # zero velocity, so the first second is a catch-up maneuver.
+            if t_traj > 1.5:
+                errs.append(float(np.linalg.norm(plant.x[:3] - ref[:3])))
+            if args.verbose and k % 5 == 0:
+                d = plant.x[:3] - ref[:3]
+                print(f"  t_traj={t_traj:5.2f} err={np.round(d,2)} |e|={errs[-1]:.2f}", flush=True)
+
+    stop.set()
+    node.stop()
+    rec = node.last_record
+    print(f"engine status: steps={rec.num_steps} solve={rec.solve_time*1e3:.1f}ms "
+          f"state={rec.ctrl_state} idx={rec.mpc_indx} fcu_status={fcu.status}")
+    errs = np.asarray(errs) if errs else np.asarray([np.inf])
+    print(f"tracking error over {len(errs)} ticks: "
+          f"mean={errs.mean():.3f}m max={errs.max():.3f}m")
+    ok = errs.mean() < 0.35 and fcu.status == FCUSim.MPC_ON
+    print("RESULT:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

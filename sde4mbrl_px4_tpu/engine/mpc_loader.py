@@ -88,10 +88,22 @@ def _resolve_model(cfg: Dict[str, Any]) -> Tuple[NeuralSDE, Dict[str, Any]]:
     return model, params
 
 
+def _pallas_default() -> bool:
+    """Fused Pallas kernels: opt-in via env SDE4MBRL_PALLAS=1.
+
+    (Default-off while the unrolled-horizon Mosaic compile remains
+    pathologically slow on the target toolchain — see
+    ops/pallas/solve_kernels.py; the XLA path is always available and
+    semantically identical.)"""
+    env = os.environ.get("SDE4MBRL_PALLAS")
+    return env is not None and env not in ("0", "false", "False")
+
+
 def make_mpc_from_config(
     cfg: Dict[str, Any],
     convert_to_enu: bool = True,
     particle_sharding=None,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[Dict[str, Any], Tuple[Callable, Callable], Optional[Callable], MPCBundle]:
     """Core factory; ``cfg`` is an already-parsed config mapping.
 
@@ -99,6 +111,12 @@ def make_mpc_from_config(
     Brownian-increment block — shards the Monte-Carlo particle axis of every
     rollout inside the solve over the mesh's ``mc`` axis (L6; see
     ``parallel/mesh.py``).
+
+    ``use_pallas``: route the solve's cost/gradient evaluations through the
+    fused Mosaic kernels (``ops/pallas/solve_kernels.py``). Default: auto
+    (on for TPU backends); ``"interpret"`` runs the kernels in the Pallas
+    interpreter (CPU testing). Incompatible with ``particle_sharding`` (the
+    kernel keeps all particles on-chip; shard scenarios instead).
     """
     model, params = _resolve_model(cfg)
     n_u = model.n_u
@@ -117,10 +135,17 @@ def make_mpc_from_config(
     apg_cfg = APGConfig.from_config(cfg)
     num_particles = int(cfg.get("num_particles", 1))
 
+    # Trajectory tables keep the CSV's own frame (ENU,
+    # ``geometric_controller.cpp:463``): with convert_to_enu=True the public
+    # API boundary is "xdes / state_from_traj in ENU, FCU state in NED" —
+    # the reference's convention, where idle mode feeds state_from_traj(0)
+    # straight into the position solver as a target
+    # (``sde_control.py:206,405``). The NED conversion for the solver's
+    # internal reference happens in ``_build_ref``.
     state_from_traj = None
     traj_path = cfg.get("trajectory_path")
     if traj_path:
-        table = load_trajectory_csv(traj_path, convert_to_ned=convert_to_enu)
+        table = load_trajectory_csv(traj_path, convert_to_ned=False)
         state_from_traj = make_state_from_traj(table)
 
     bundle = MPCBundle(
@@ -136,6 +161,12 @@ def make_mpc_from_config(
         state_from_traj=state_from_traj,
         convert_to_enu=convert_to_enu,
     )
+
+    if use_pallas is None:
+        use_pallas = _pallas_default()
+    pallas_interpret = use_pallas == "interpret"
+    if use_pallas and particle_sharding is not None:
+        use_pallas = False  # kernel is single-chip per solve; DP shards scenarios
 
     cost_fn = make_cost_fn(cost_params, time_steps)
     u_hover = jnp.broadcast_to(cost_params.uref, (H, n_u))
@@ -154,9 +185,10 @@ def make_mpc_from_config(
         )
 
     def _build_ref(curr_t: jax.Array, xdes: jax.Array) -> jax.Array:
-        """Per-stage reference states (H+1, 13)."""
+        """Per-stage reference states (H+1, 13) in the solver frame (NED)."""
         if state_from_traj is not None:
-            return state_from_traj(curr_t + knot_times)
+            ref = state_from_traj(curr_t + knot_times)
+            return enu2ned(ref) if convert_to_enu else ref
         return jnp.broadcast_to(xdes, (H + 1, 13))
 
     def mpc_fn(
@@ -176,7 +208,23 @@ def make_mpc_from_config(
         x_ref = _build_ref(curr_t, xdes)
         u_prev = opt_state.yk[0]
 
-        if num_particles <= 1:
+        if use_pallas:
+            from sde4mbrl_px4_tpu.ops.pallas.solve_kernels import pallas_cost_oracle
+
+            P = max(num_particles, 1)
+            if num_particles <= 1:
+                noise_p = jnp.zeros((1, H, 13), jnp.float32)
+            else:
+                # Same counter-based draw as rollout_sde ((H,P,13)), laid out
+                # particle-major for the kernel.
+                noise_p = jnp.transpose(
+                    jax.random.normal(rng_noise, (H, P, 13), jnp.float32), (1, 0, 2)
+                )
+            seq_cost = pallas_cost_oracle(
+                model, params, cost_params, time_steps, x, x_ref, u_prev,
+                noise_p, P, apg_cfg.maxls, interpret=pallas_interpret,
+            )
+        elif num_particles <= 1:
             # Mean-dynamics flight configuration (``num_particles: 1``,
             # ``iris_sitl_traj_mpc.yaml:52``): deterministic rollout; the
             # uncertainty penalty still reads sigma along the mean path.

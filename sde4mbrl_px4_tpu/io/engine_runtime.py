@@ -1,0 +1,254 @@
+"""Asynchronous MPC engine node (L7) — the ROS-free ``SDEControlROS``.
+
+Wires the pieces into the reference's runtime topology
+(``sde4mbrl_px4/mpc_controller/sde_control.py``; SURVEY.md §3.1-3.3):
+
+- **ingress** (:meth:`SDEControlNode.handle_state`): called per incoming
+  ``MPC_FULL_STATE`` — resolves the control automata, posts the state
+  snapshot to the mailbox (doorbell), and WITHOUT WAITING picks the motor +
+  thrust/body-rate command out of the latest finished plan by time index
+  (the latency-decoupling design of reference ``mpc_state_callback``,
+  ``sde_control.py:223-325``);
+- **solver loop** (:meth:`solver_loop`): blocks on the doorbell, snapshots
+  the inbox, dispatches one solve by mode, publishes the plan + solver
+  stats to the outbox (reference ``mpc_process_fn``,
+  ``sde_control.py:328-450``);
+- **services** (:meth:`initialize_mpc`, :meth:`set_mode`): the
+  ``set_trajectory_and_params`` / ``start_trajectory`` semantics
+  (``sde_control.py:453-562``);
+- **MAVLink loop** (:meth:`serve_mavlink`): blocking UDP receive thread
+  (reference ``handle_mpc_state_msg``, ``sde_control.py:134-154``).
+
+Divergence from the reference, by design: the solver runs in a THREAD, not
+a forked process. The reference needed a process because its CPU-pinned
+solve holds the GIL (``sde_control.py:6``); here the solve executes on the
+TPU and the dispatching thread releases the GIL. The mailbox protocol is
+unchanged (and cross-process capable — the native POSIX segment works
+between processes for a multi-process deployment).
+"""
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from sde4mbrl_px4_tpu.core.types import CONTROL_STATES
+from sde4mbrl_px4_tpu.engine.controller import RecedingHorizonController
+from sde4mbrl_px4_tpu.engine.telemetry import OptMPCStateRecord
+from sde4mbrl_px4_tpu.io.mailbox import Mailbox, native_available
+
+__all__ = ["SDEControlNode"]
+
+# Mailbox layouts (float64 lanes).
+_IN_LEN = 3 + 13 + 13          # [sample_t_usec, ctrl_state, trajec_time] + x + target
+_STATS = 9                     # sample_t, solve_time, avg_ls, stepsize, num_steps,
+                               # grad_sqr, avg_stepsize, init_cost, opt_cost
+
+
+class SDEControlNode:
+    """Dual-solver async MPC engine with mailbox doorbell runtime."""
+
+    def __init__(
+        self,
+        traj_cfg_path: str,
+        pos_cfg_path: str,
+        seed: int = 0,
+        mailbox_name: Optional[str] = None,
+        now_fn: Callable[[], float] = time.time,
+        cmd_sink: Optional[Callable] = None,
+    ):
+        self.ctrl = RecedingHorizonController(
+            traj_cfg_path, pos_cfg_path, seed=seed, now_fn=now_fn
+        )
+        self.now_fn = now_fn
+        self.cmd_sink = cmd_sink      # callable(motors6, thrust_rates4, mpc_on, weight)
+        self.max_h = max(self.ctrl.traj.horizon, self.ctrl.pos.horizon)
+        out_len = _STATS + 1 + self.max_h * 6 + self.max_h * 4  # stats, is_traj, u, w
+
+        name = mailbox_name or f"sde_mpc_{int(now_fn() * 1e6) & 0xFFFFFF:x}"
+        if not native_available():
+            raise RuntimeError("build the native runtime first: make -C csrc")
+        self.mbx = Mailbox(name, _IN_LEN, out_len, owner=True)
+
+        self._solver_thread: Optional[threading.Thread] = None
+        self._mav_thread: Optional[threading.Thread] = None
+        self._running = False
+        self.last_record = OptMPCStateRecord()
+        self.dt_state_callback = 0.0
+        self.dt_state_info = 0.0
+        self._last_state_time: Optional[float] = None
+        self._last_index = 0
+        self.mav = None
+
+    # ------------------------------------------------------------- lifecycle
+
+    def start(self) -> None:
+        self._running = True
+        self._solver_thread = threading.Thread(target=self.solver_loop, daemon=True)
+        self._solver_thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        self.mbx.shutdown()
+        if self._solver_thread:
+            self._solver_thread.join(timeout=5.0)
+        self.mbx.close()
+
+    # -------------------------------------------------------------- services
+
+    def initialize_mpc(self) -> bool:
+        """``set_trajectory_and_params`` service semantics
+        (``sde_control.py:453-477``): refuse while running; send 5 reset
+        commands to the FCU; mark reset_done."""
+        a = self.ctrl.automata
+        if a.run_trajectory or a.pos_control:
+            return False
+        if self.cmd_sink is not None:
+            for _ in range(5):
+                self.cmd_sink(
+                    np.zeros(6, np.float32), np.zeros(4, np.float32),
+                    CONTROL_STATES["reset"], a.weight_motors,
+                )
+                time.sleep(0.01)
+        a.reset_done = True
+        return True
+
+    def set_mode(self, mode: int, target_pose=None, weight_motors: int = 110):
+        """``start_trajectory`` service semantics (``sde_control.py:480-562``)."""
+        ok, msg = self.ctrl.automata.set_mode(mode, target_pose, weight_motors)
+        return ok, msg
+
+    # --------------------------------------------------------------- ingress
+
+    def handle_state(self, state13: np.ndarray, sample_time_usec: float):
+        """Hot path per state message. Returns (motors6, thrust_rates4,
+        mpc_on, weight_motors) or None (no plan yet / automata 'none')."""
+        t0 = time.perf_counter()
+        now = self.now_fn()
+        self.dt_state_info = (now - self._last_state_time) if self._last_state_time else 0.0
+        self._last_state_time = now
+
+        a = self.ctrl.automata
+        control_state, trajec_time, target = a.resolve()
+
+        # Post to the solver and ring the doorbell.
+        rec = np.empty(_IN_LEN, np.float64)
+        rec[0] = sample_time_usec
+        rec[1] = control_state
+        rec[2] = trajec_time
+        rec[3:16] = np.asarray(state13, np.float64)
+        rec[16:29] = np.asarray(target, np.float64)
+        self.mbx.post_inbox(rec)
+
+        # Pick from the latest finished plan (never waits on a solve).
+        out, seq = self.mbx.read_outbox()
+        plan_sample_t = out[0]
+        if seq == 0 or plan_sample_t <= 0:
+            self.dt_state_callback = time.perf_counter() - t0
+            return None
+
+        is_traj = out[_STATS] > 0.5
+        active = self.ctrl.traj if is_traj else self.ctrl.pos
+        idx = int((sample_time_usec - plan_sample_t) / active.dt_usec)
+        idx = max(0, min(idx, active.horizon - 1))
+        self._last_index = idx
+        u_flat = out[_STATS + 1 : _STATS + 1 + self.max_h * 6]
+        w_flat = out[_STATS + 1 + self.max_h * 6 :]
+        motors = u_flat.reshape(self.max_h, 6)[idx].astype(np.float32)
+        rates = w_flat.reshape(self.max_h, 4)[idx].astype(np.float32)
+
+        self.last_record = OptMPCStateRecord(
+            stamp=now,
+            avg_linesearch=out[2], stepsize=out[3], num_steps=int(out[4]),
+            grad_norm=out[5], avg_stepsize=out[6], cost_init=out[7],
+            opt_cost=out[8], solve_time=out[1],
+            callback_dt=self.dt_state_callback, state_dt=self.dt_state_info,
+            ctrl_state={v: k for k, v in CONTROL_STATES.items()}[control_state],
+            mpc_indx=idx,
+        )
+
+        if control_state == CONTROL_STATES["none"]:
+            self.dt_state_callback = time.perf_counter() - t0
+            return None
+
+        mpc_on = CONTROL_STATES["test"] if a.test_mode else control_state
+        result = (motors, rates, mpc_on, a.weight_motors)
+        if self.cmd_sink is not None:
+            self.cmd_sink(*result)
+        self.dt_state_callback = time.perf_counter() - t0
+        return result
+
+    # ------------------------------------------------------------ solver side
+
+    def solver_loop(self) -> None:
+        """Doorbell-driven solve loop (reference ``mpc_process_fn``)."""
+        max_h = self.max_h
+        while self._running:
+            rc = self.mbx.wait_bell(timeout_ms=200)
+            if rc < 0:
+                break
+            if rc == 0:
+                continue
+            rec, _ = self.mbx.read_inbox()
+            sample_t = rec[0]
+            control_state = int(rec[1])
+            trajec_time = float(rec[2])
+            x = rec[3:16].astype(np.float32)
+            target = rec[16:29].astype(np.float32)
+
+            record = self.ctrl.solve_once(
+                x, control_state, trajec_time, target, sample_t
+            )
+
+            out = np.zeros(self.mbx.outbox_len, np.float64)
+            out[0] = sample_t
+            out[1] = record.solve_time
+            out[2] = record.avg_linesearch
+            out[3] = record.stepsize
+            out[4] = record.num_steps
+            out[5] = record.grad_norm
+            out[6] = record.avg_stepsize
+            out[7] = record.cost_init
+            out[8] = record.opt_cost
+            out[_STATS] = 1.0 if self.ctrl.plan_is_traj else 0.0
+            out[_STATS + 1 : _STATS + 1 + max_h * 6] = self.ctrl.u_plan[:, :6].reshape(-1) \
+                if self.ctrl.u_plan.shape[1] >= 6 else np.pad(
+                    self.ctrl.u_plan, ((0, 0), (0, 6 - self.ctrl.u_plan.shape[1]))
+                ).reshape(-1)
+            out[_STATS + 1 + max_h * 6 :] = self.ctrl.w_plan.reshape(-1)
+            self.mbx.post_outbox(out)
+
+    # ------------------------------------------------------------- transport
+
+    def serve_mavlink(self, addr: str = "127.0.0.1:14998") -> None:
+        """Attach the UDP MAVLink side-channel: listener thread ingesting
+        MPC_FULL_STATE and replying MPC_MOTORS_CMD (reference
+        ``init_mavlink_connection`` + ``handle_mpc_state_msg``,
+        ``sde_control.py:113-154``)."""
+        from sde4mbrl_px4_tpu.io.mavlink import MavlinkUDP
+
+        self.mav = MavlinkUDP(addr, mode="udpin")
+
+        def sink(motors6, rates4, mpc_on, weight):
+            try:
+                self.mav.send_motors_cmd(
+                    int(self.now_fn() * 1e6), motors6, rates4, mpc_on, weight
+                )
+            except RuntimeError:
+                # Server mode with no peer yet (nothing received) — the
+                # reference likewise only replies after the first inbound
+                # message establishes the route (sde_control.py:117-126).
+                pass
+
+        self.cmd_sink = sink
+
+        def loop():
+            while self._running:
+                msg = self.mav.recv_match(type="MPC_FULL_STATE", timeout=0.1)
+                if msg is not None:
+                    self.handle_state(msg.state, float(msg.time_usec))
+
+        self._mav_thread = threading.Thread(target=loop, daemon=True)
+        self._mav_thread.start()

@@ -86,43 +86,80 @@ class NeuralSDE(NamedTuple):
         return diffusion_fn(self, params, x, u)
 
 
-def drift_fn(model: NeuralSDE, params: Dict[str, Any], x: jax.Array, u: jax.Array) -> jax.Array:
-    """Drift ``f(x,u)``: rigid-body prior + learned residual wrench.
+def trunk_apply(params: Dict[str, Any], x: jax.Array, u: jax.Array):
+    """Shared two-head network: one trunk, (wrench residual, raw sigma) heads.
 
-    Broadcasts over leading batch dims of ``x`` (u broadcasts alongside).
+    The residual force/torque and the diffusion magnitude share the trunk so
+    each EM step costs 3 matmuls instead of 5 — the matmul count is the
+    per-step latency driver on TPU (~4us issue latency per small matmul;
+    measured, see ops/pallas).
     """
+    h = _feat(x, u)
+    net = params["net"]
+    n_layers = sum(1 for k in net if k.startswith("w"))
+    for i in range(n_layers):
+        w, b = net[f"w{i}"], net[f"b{i}"]
+        h = jax.lax.dot_general(
+            h, w, (((h.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) + b
+        if i < n_layers - 1:
+            h = jax.nn.swish(h)
+    # Combined head output: [:6] residual wrench, [6:12] raw diffusion.
+    res = h[..., 0:6]
+    sig6 = jax.nn.softplus(h[..., 6:12]) * jnp.exp(params["diffusion_log_scale"])
+    return res, sig6
+
+
+def sigma13(x: jax.Array, sig6: jax.Array) -> jax.Array:
+    """Expand the 6-dim velocity-state sigma to the full 13-dim diagonal."""
+    zeros = jnp.zeros(x[..., 0:4].shape, x.dtype)
+    return jnp.concatenate(
+        [zeros[..., 0:3], sig6[..., 0:3], zeros[..., 0:4], sig6[..., 3:6]], axis=-1
+    )
+
+
+def drift_terms(model: NeuralSDE, params: Dict[str, Any], x: jax.Array,
+                u: jax.Array, res: jax.Array) -> jax.Array:
+    """Physics-prior drift given the residual head output (see drift_fn)."""
     veh = model.vehicle
     q = x[..., QUAT]
     v = x[..., VEL]
     omega = x[..., OMEGA]
 
-    # Motor wrench prior: [T, tau] = (scaled mixing) @ u. The per-axis scale
-    # factors are learnable log-corrections around the geometric prior.
     mix = jnp.asarray(veh.mixing, x.dtype) * jnp.exp(params["motor"]["log_gain"])[:, None]
-    wrench = jnp.einsum("ij,...j->...i", mix, jnp.broadcast_to(u, x[..., : veh.n_motors].shape))
+    wrench = jnp.einsum("ij,...j->...i", mix, jnp.broadcast_to(u, x.shape[:-1] + (veh.n_motors,)))
     thrust = wrench[..., 0]
     tau = wrench[..., 1:4]
 
-    # Learned residual wrench (body frame force + torque).
-    res = mlp_apply(params["residual"], _feat(x, u))
     f_res = res[..., 0:3]
     tau_res = res[..., 3:6]
 
-    # Translational: NED gravity + body->world rotated thrust (-z body) + residual.
     e_z = jnp.zeros_like(v).at[..., 2].set(1.0)
     f_body = f_res - thrust[..., None] * e_z
     acc = _G * e_z + quat.qrotate(q, f_body) / veh.mass
 
-    # Rotational: Euler's equation with diagonal inertia prior.
     J = jnp.asarray(veh.inertia, x.dtype)
-    Jw = J * omega
-    domega = (tau + tau_res - jnp.cross(omega, Jw)) / J
+    domega = (tau + tau_res - jnp.cross(omega, J * omega)) / J
 
-    # Quaternion kinematics (Euclidean embedding; rollout renormalizes).
     omega_q = jnp.concatenate([jnp.zeros_like(omega[..., :1]), omega], axis=-1)
     dq = 0.5 * quat.qmul(q, omega_q)
-
     return jnp.concatenate([v, acc, dq, domega], axis=-1)
+
+
+def drift_and_sigma(model: NeuralSDE, params: Dict[str, Any], x: jax.Array, u: jax.Array):
+    """Fused (drift, sigma13) evaluation — one trunk pass for both."""
+    res, sig6 = trunk_apply(params, x, u)
+    return drift_terms(model, params, x, u, res), sigma13(x, sig6)
+
+
+def drift_fn(model: NeuralSDE, params: Dict[str, Any], x: jax.Array, u: jax.Array) -> jax.Array:
+    """Drift ``f(x,u)``: rigid-body prior + learned residual wrench.
+
+    Broadcasts over leading batch dims of ``x`` (u broadcasts alongside).
+    Prefer :func:`drift_and_sigma` in rollouts — it shares the trunk pass.
+    """
+    res, _ = trunk_apply(params, x, u)
+    return drift_terms(model, params, x, u, res)
 
 
 def diffusion_fn(model: NeuralSDE, params: Dict[str, Any], x: jax.Array, u: jax.Array) -> jax.Array:
@@ -134,11 +171,8 @@ def diffusion_fn(model: NeuralSDE, params: Dict[str, Any], x: jax.Array, u: jax.
     limit, used for mean-dynamics flight configs, reference
     ``num_particles: 1`` at ``launch/iris_sitl_traj_mpc.yaml:52``).
     """
-    raw = mlp_apply(params["diffusion"], _feat(x, u))
-    sig6 = jax.nn.softplus(raw) * jnp.exp(params["diffusion_log_scale"])
-    zeros7 = jnp.zeros(x[..., 0:7].shape, x.dtype)
-    # layout: pos(0:3)=0, vel(3:6)=sig, quat(6:10)=0, omega(10:13)=sig
-    return jnp.concatenate([zeros7[..., 0:3], sig6[..., 0:3], zeros7[..., 0:4], sig6[..., 3:6]], axis=-1)
+    _, sig6 = trunk_apply(params, x, u)
+    return sigma13(x, sig6)
 
 
 def _init_mlp(rng: jax.Array, sizes, scale_last: float = 1e-3) -> Dict[str, np.ndarray]:
@@ -153,12 +187,11 @@ def _init_mlp(rng: jax.Array, sizes, scale_last: float = 1e-3) -> Dict[str, np.n
 
 
 def init_params(rng: jax.Array, model: NeuralSDE, hidden: int = 64) -> Dict[str, Any]:
-    """Fresh parameter pytree for a model (checkpoint-compatible layout)."""
-    k_res, k_dif = jax.random.split(rng)
+    """Fresh parameter pytree for a model (checkpoint layout v2: single trunk
+    + combined 12-dim head: wrench residual [0:6], raw diffusion [6:12])."""
     feat = 9 + model.n_u
     return {
         "motor": {"log_gain": np.zeros((4,), np.float32)},
-        "residual": _init_mlp(k_res, (feat, hidden, hidden, 6)),
-        "diffusion": _init_mlp(k_dif, (feat, hidden, _DIFF_DIM), scale_last=1e-2),
+        "net": _init_mlp(rng, (feat, hidden, hidden, 12)),
         "diffusion_log_scale": np.float32(np.log(0.1)),
     }

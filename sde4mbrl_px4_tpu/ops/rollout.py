@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sde4mbrl_px4_tpu.core import quaternion as quat
-from sde4mbrl_px4_tpu.models.sde_model import NeuralSDE, drift_fn, diffusion_fn
+from sde4mbrl_px4_tpu.models.sde_model import NeuralSDE, drift_fn, diffusion_fn, drift_and_sigma
 
 __all__ = ["make_time_steps", "em_step", "rollout_mean", "rollout_sde"]
 
@@ -59,11 +59,11 @@ def em_step(
 ) -> jax.Array:
     """One Euler(-Maruyama) step; ``noise`` ~ N(0,1) (13,) or batched, or None
     for the deterministic mean-dynamics step. Quaternion re-projected to S³."""
-    f = drift_fn(model, params, x, u)
-    x1 = x + dt * f
     if noise is not None:
-        sig = diffusion_fn(model, params, x, u)
-        x1 = x1 + jnp.sqrt(dt) * sig * noise
+        f, sig = drift_and_sigma(model, params, x, u)
+        x1 = x + dt * f + jnp.sqrt(dt) * sig * noise
+    else:
+        x1 = x + dt * drift_fn(model, params, x, u)
     return _renorm_quat(x1)
 
 
@@ -131,8 +131,7 @@ def rollout_sde(
 
     def body(x, inp):
         u, dt, z = inp
-        f = drift_fn(model, params, x, u)
-        sig = diffusion_fn(model, params, x, u)
+        f, sig = drift_and_sigma(model, params, x, u)
         x1 = _renorm_quat(x + dt * f + jnp.sqrt(dt) * sig * z)
         return x1, (x1, sig)
 

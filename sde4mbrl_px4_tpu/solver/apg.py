@@ -33,7 +33,32 @@ from typing import Any, Callable, Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["APGConfig", "APGState", "apg_solve", "box_project"]
+__all__ = ["APGConfig", "APGState", "apg_solve", "box_project", "CostOracle"]
+
+
+class CostOracle(NamedTuple):
+    """Pluggable cost evaluation backend for the solver.
+
+    Lets fused implementations (Pallas kernels, ``ops/pallas``) supply the
+    three evaluation shapes the APG loop needs without the solver knowing
+    how they are computed:
+
+    - ``value(u) -> scalar``
+    - ``value_batch(U[K,H,n]) -> (K,)`` — the vectorized linesearch
+    - ``value_and_grad(u) -> (scalar, grad)``
+    """
+
+    value: Callable
+    value_batch: Callable
+    value_and_grad: Callable
+
+    @staticmethod
+    def from_fn(cost_fn: Callable) -> "CostOracle":
+        return CostOracle(
+            value=cost_fn,
+            value_batch=jax.vmap(cost_fn),
+            value_and_grad=jax.value_and_grad(cost_fn),
+        )
 
 
 class APGConfig(NamedTuple):
@@ -55,6 +80,12 @@ class APGConfig(NamedTuple):
     increase_factor: float = 1.3
     reset_option: str = "increase"  # or "conservative"
     maxls: int = 4
+    # TPU execution strategy: evaluate all maxls backtracking candidates in
+    # ONE batched rollout instead of sequentially. Identical accept decision
+    # (largest passing stepsize) — backtracking tries candidates largest
+    # first, so "first accept" == "largest passing". The batched rollout
+    # costs about the same as a single one on TPU (op-issue-latency bound).
+    vector_linesearch: bool = True
 
     @staticmethod
     def from_config(cfg: Dict[str, Any]) -> "APGConfig":
@@ -136,11 +167,14 @@ def apg_solve(
     """Minimize ``cost_fn`` over box-constrained control sequences.
 
     ``cost_fn`` maps (H, n_u) -> scalar and must be jit-traceable and
-    differentiable (it closes over the SDE rollout). Returns the final
-    :class:`APGState` whose ``yk`` holds the best iterate found (NOT yet
-    shifted; the engine performs the receding-horizon shift).
+    differentiable (it closes over the SDE rollout), or a :class:`CostOracle`
+    supplying fused value / batched-value / value-and-grad evaluations.
+    Returns the final :class:`APGState` whose ``yk`` holds the best iterate
+    found (NOT yet shifted; the engine performs the receding-horizon shift).
     """
-    vg = jax.value_and_grad(cost_fn)
+    oracle = cost_fn if isinstance(cost_fn, CostOracle) else CostOracle.from_fn(cost_fn)
+    cost_fn = oracle.value
+    vg = oracle.value_and_grad
     proj = lambda u: box_project(u, lb, ub)
 
     u0 = proj(u_init)
@@ -183,6 +217,28 @@ def apg_solve(
         t, n_ls, ok, u_t, f_t = jax.lax.while_loop(cond, body, init)
         return u_t, f_t, t, n_ls, ok
 
+    def linesearch_vec(y, f_y, g, t0):
+        """Vectorized backtracking: same accept rule as :func:`linesearch`,
+        all ``maxls`` candidates in one batched cost evaluation.
+
+        ``n_ls`` reports the eval count the sequential search *would* have
+        performed (1 + index of the accepted candidate) so the published
+        ``avg_linesearch`` telemetry keeps the reference's semantics.
+        """
+        K = cfg.maxls
+        ts = t0 * (cfg.decrease_factor ** jnp.arange(K, dtype=jnp.float32))  # (K,)
+        u_ts = proj(y[None] - ts[:, None, None] * g[None])                   # (K, H, n)
+        f_ts = oracle.value_batch(u_ts)                                      # (K,)
+        d = u_ts - y[None]
+        lin = jnp.sum(g[None] * d, axis=(1, 2))
+        quad = jnp.sum(d * d, axis=(1, 2)) / (2.0 * jnp.maximum(ts, 1e-12))
+        ok_k = f_ts <= f_y + (1.0 - cfg.coef) * lin + quad                   # (K,)
+        any_ok = jnp.any(ok_k)
+        idx = jnp.argmax(ok_k)  # first (largest-step) accepted candidate
+        t = jnp.where(any_ok, ts[idx], t0 * cfg.decrease_factor**K)
+        n_ls = jnp.where(any_ok, idx + 1, K).astype(jnp.int32)
+        return u_ts[idx], f_ts[idx], t, n_ls, any_ok
+
     def outer_cond(c: _Carry) -> jax.Array:
         return jnp.logical_and(c.k < cfg.max_iter, jnp.logical_not(c.done))
 
@@ -195,7 +251,8 @@ def apg_solve(
                 if cfg.reset_option == "increase"
                 else c.t
             )
-            u_trial, f_trial, t_acc, n_ls, ok = linesearch(c.y, f_y, g, t0)
+            ls = linesearch_vec if cfg.vector_linesearch else linesearch
+            u_trial, f_trial, t_acc, n_ls, ok = ls(c.y, f_y, g, t0)
         else:
             t_acc = jnp.float32(cfg.stepsize)
             u_trial = proj(c.y - t_acc * g)

@@ -1,0 +1,215 @@
+"""Engine-layer tests: automata semantics, receding-horizon controller,
+plan pickup, telemetry (L5)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sde4mbrl_px4_tpu.core.frames import enu2ned
+from sde4mbrl_px4_tpu.core.types import (
+    CONTROL_STATES,
+    CTRL_INACTIVE,
+    CTRL_POSE_ACTIVE,
+    CTRL_TEST,
+    CTRL_TRAJ_ACTIVE,
+    CTRL_TRAJ_IDLE,
+    hover_state,
+)
+from sde4mbrl_px4_tpu.engine.controller import ControlAutomata
+from sde4mbrl_px4_tpu.engine.telemetry import OptMPCStateRecord
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 100.0
+
+    def __call__(self):
+        return self.t
+
+
+@pytest.fixture
+def automata():
+    clock = FakeClock()
+    sft = lambda t: np.asarray(hover_state()).copy()
+    a = ControlAutomata(state_from_traj=sft, now_fn=clock)
+    return a, clock
+
+
+def test_initial_state_none(automata):
+    a, _ = automata
+    st, tt, _ = a.resolve()
+    assert st == CONTROL_STATES["none"] and tt < 0
+
+
+def test_reset_gate(automata):
+    """Modes other than INACTIVE are refused before controller_init
+    (reference sde_control.py:491-494)."""
+    a, _ = automata
+    ok, msg = a.set_mode(CTRL_TRAJ_IDLE)
+    assert not ok and "reset" in msg
+    a.reset_done = True
+    ok, _ = a.set_mode(CTRL_TRAJ_IDLE)
+    assert ok
+
+
+def test_weight_motors_pure_update(automata):
+    """weight_motors in [0,100] only updates the blend — even without reset
+    (reference sde_control.py:485-488)."""
+    a, _ = automata
+    ok, _ = a.set_mode(CTRL_TRAJ_ACTIVE, weight_motors=55)
+    assert ok and a.weight_motors == 55
+    st, _, _ = a.resolve()
+    assert st == CONTROL_STATES["none"]  # mode unchanged
+
+
+def test_trajectory_requires_idle_first(automata):
+    """CTRL_TRAJ_ACTIVE from cold goes to idle, not traj
+    (reference sde_control.py:549-554)."""
+    a, clock = automata
+    a.reset_done = True
+    ok, msg = a.set_mode(CTRL_TRAJ_ACTIVE)
+    assert ok and "idle" in msg
+    st, _, _ = a.resolve()
+    assert st == CONTROL_STATES["idle"]
+    # now from idle it starts
+    ok, msg = a.set_mode(CTRL_TRAJ_ACTIVE)
+    assert ok and "started" in msg
+    st, tt, _ = a.resolve()
+    assert st == CONTROL_STATES["traj"]
+
+
+def test_trajectory_wall_clock(automata):
+    a, clock = automata
+    a.reset_done = True
+    a.set_mode(CTRL_TRAJ_IDLE)
+    a.resolve()
+    a.set_mode(CTRL_TRAJ_ACTIVE)
+    a.resolve()          # starts the clock
+    clock.t += 0.75
+    st, tt, _ = a.resolve()
+    assert st == CONTROL_STATES["traj"]
+    assert tt == pytest.approx(0.75, abs=1e-6)
+
+
+def test_traj_already_running_rejected(automata):
+    a, _ = automata
+    a.reset_done = True
+    a.set_mode(CTRL_TRAJ_IDLE); a.resolve()
+    a.set_mode(CTRL_TRAJ_ACTIVE); a.resolve()
+    ok, msg = a.set_mode(CTRL_TRAJ_ACTIVE)
+    assert not ok and "already" in msg
+
+
+def test_pose_mode(automata):
+    a, _ = automata
+    a.reset_done = True
+    tgt = np.asarray(hover_state()).copy()
+    tgt[0] = 2.5
+    ok, _ = a.set_mode(CTRL_POSE_ACTIVE, target_pose=tgt)
+    assert ok
+    st, _, target = a.resolve()
+    assert st == CONTROL_STATES["pos"]
+    assert target[0] == pytest.approx(2.5)
+
+
+def test_test_mode_flags(automata):
+    a, _ = automata
+    a.reset_done = True
+    ok, _ = a.set_mode(CTRL_TEST)
+    assert ok and a.test_mode
+    st, _, _ = a.resolve()
+    assert st == CONTROL_STATES["pos"]  # test rides the pos path
+
+
+def test_inactive_clears_reset(automata):
+    a, _ = automata
+    a.reset_done = True
+    a.set_mode(CTRL_TRAJ_IDLE)
+    ok, _ = a.set_mode(CTRL_INACTIVE)
+    assert ok and not a.reset_done
+    st, _, _ = a.resolve()
+    assert st == CONTROL_STATES["none"]
+
+
+def test_telemetry_record_roundtrip():
+    from sde4mbrl_px4_tpu.solver.apg import APGState
+
+    st = APGState(
+        yk=jnp.zeros((5, 4)), num_steps=jnp.float32(12), stepsize=jnp.float32(0.1),
+        avg_stepsize=jnp.float32(0.05), avg_linesearch=jnp.float32(1.5),
+        grad_sqr=jnp.float32(0.01), init_cost=jnp.float32(10.0),
+        opt_cost=jnp.float32(1.0),
+    )
+    rec = OptMPCStateRecord.from_opt_state(
+        st, solve_time=0.01, callback_dt=0.001, state_dt=0.02,
+        ctrl_state=CONTROL_STATES["traj"], mpc_indx=3,
+    )
+    d = rec.to_dict()
+    assert d["num_steps"] == 12 and d["ctrl_state"] == "traj" and d["mpc_indx"] == 3
+    assert "avg_linesearch" in rec.to_json()
+
+
+# ----------------------------------------------------------------------------
+# Full controller (compiled solvers) — session-scoped, heavier.
+# ----------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rh_controller(repo_root):
+    import os
+
+    from sde4mbrl_px4_tpu.engine.controller import RecedingHorizonController
+
+    clock = FakeClock()
+    c = RecedingHorizonController(
+        os.path.join(repo_root, "configs/iris_traj_mpc.yaml"),
+        os.path.join(repo_root, "configs/iris_posctrl_mpc.yaml"),
+        seed=0, now_fn=clock,
+    )
+    return c, clock
+
+
+def test_controller_asserts_config_shapes(rh_controller):
+    c, _ = rh_controller
+    assert c.traj.state_from_traj is not None
+    assert c.pos.state_from_traj is None
+    assert c.traj.dt_usec == pytest.approx(50000.0)
+
+
+def test_solve_and_pickup(rh_controller):
+    c, _ = rh_controller
+    x = np.asarray(enu2ned(jnp.asarray(c.traj.state_from_traj(jnp.float32(0.0)))))
+    rec = c.solve_once(x, CONTROL_STATES["pos"], -1.0, np.asarray(hover_state()),
+                       sample_time_usec=1_000_000.0)
+    assert rec.solve_time > 0 and rec.num_steps >= 1
+    # pickup at the plan start
+    got = c.pick_command(1_000_000.0)
+    assert got is not None
+    u6, w4, idx = got
+    assert idx == 0 and u6.shape == (6,) and w4.shape == (4,)
+    assert np.all(u6[:4] >= 1e-4 - 1e-7) and np.all(u6[:4] <= 1.0 + 1e-7)
+    np.testing.assert_allclose(u6[4:], 0.0)  # 4-motor padded to 6
+    # thrust = motor mean (reference sde_control.py:431)
+    assert w4[0] == pytest.approx(float(np.mean(u6[:4])), abs=1e-6)
+
+
+def test_pickup_time_indexing_and_clamp(rh_controller):
+    c, _ = rh_controller
+    # index advances with sample time, clamps at horizon end with overrun
+    u0, _, i0 = c.pick_command(1_000_000.0)
+    _, _, i2 = c.pick_command(1_000_000.0 + 2 * c.pos.dt_usec)
+    _, _, ilast = c.pick_command(1_000_000.0 + 1e9)
+    assert i0 == 0 and i2 == 2 and ilast == c.pos.horizon - 1
+
+
+def test_no_plan_returns_none(rh_controller, repo_root):
+    import os
+
+    from sde4mbrl_px4_tpu.engine.controller import RecedingHorizonController
+
+    c2 = RecedingHorizonController(
+        os.path.join(repo_root, "configs/iris_traj_mpc.yaml"),
+        os.path.join(repo_root, "configs/iris_posctrl_mpc.yaml"),
+        seed=1, now_fn=FakeClock(),
+    )
+    assert c2.pick_command(123.0) is None

@@ -14,9 +14,13 @@ _G = 9.81
 
 
 def _zero_residual(params):
-    """Strip the learned residual/diffusion so only the physics prior acts."""
+    """Strip the learned residual/diffusion so only the physics prior acts:
+    zero the combined head layer (last trunk layer) and kill the noise scale."""
     p = jax.tree.map(lambda a: a, params)
-    p["residual"] = {k: jnp.zeros_like(v) for k, v in p["residual"].items()}
+    last = max(int(k[1:]) for k in p["net"] if k.startswith("w"))
+    p["net"] = dict(p["net"])
+    p["net"][f"w{last}"] = jnp.zeros_like(p["net"][f"w{last}"])
+    p["net"][f"b{last}"] = jnp.zeros_like(p["net"][f"b{last}"])
     p["diffusion_log_scale"] = jnp.float32(-30.0)
     return p
 
