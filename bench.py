@@ -21,6 +21,11 @@ import os
 import sys
 import time
 
+# Persistent compilation cache: the fused Mosaic kernels take ~3 min to
+# compile cold but hit the cache on every subsequent run.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 import numpy as np
 
 

@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--state-rate", type=float, default=50.0)
     ap.add_argument("--time-scale", type=float, default=1.0)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--log", default=None, help="write an .npz flight log")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +45,7 @@ def main():
     from sde4mbrl_px4_tpu.models.vehicles import iris_config
     from sde4mbrl_px4_tpu.sim.plant import FCUSim, SDEPlant
     from sde4mbrl_px4_tpu.core.frames import enu2ned
+    from sde4mbrl_px4_tpu.io.flight_log import FlightRecorder
 
     here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
@@ -99,6 +101,7 @@ def main():
     n_steps = int(args.seconds / state_dt)
     errs = []
     t_started = None
+    recorder = FlightRecorder() if args.log else None
     for k in range(n_steps):
         clock.t = plant.t
         x, t_usec = fcu.full_state_msg()
@@ -123,6 +126,23 @@ def main():
             # zero velocity, so the first second is a catch-up maneuver.
             if t_traj > 1.5:
                 errs.append(float(np.linalg.norm(plant.x[:3] - ref[:3])))
+        if recorder is not None:
+            c = fcu.last_cmd
+            rec = node.last_record
+            ref_now = None
+            if t_started is not None and node.ctrl.automata.run_trajectory:
+                ref_now = np.asarray(enu2ned(node.ctrl.traj.state_from_traj(
+                    float(node.ctrl.automata.trajec_time))))
+            recorder.record(
+                plant.t, plant.x,
+                cmd_motors=None if c is None else c[0],
+                cmd_thrust_rates=None if c is None else c[1],
+                ref=ref_now,
+                mpc_on=0 if c is None else c[2],
+                weight_motors=0 if c is None else c[3],
+                solve_time=rec.solve_time, num_steps=rec.num_steps,
+                opt_cost=rec.opt_cost, mpc_indx=rec.mpc_indx,
+            )
             if args.verbose and k % 5 == 0:
                 d = plant.x[:3] - ref[:3]
                 print(f"  t_traj={t_traj:5.2f} err={np.round(d,2)} |e|={errs[-1]:.2f}", flush=True)
@@ -135,6 +155,9 @@ def main():
     errs = np.asarray(errs) if errs else np.asarray([np.inf])
     print(f"tracking error over {len(errs)} ticks: "
           f"mean={errs.mean():.3f}m max={errs.max():.3f}m")
+    if recorder is not None:
+        recorder.save(args.log)
+        print(f"flight log: {args.log} ({len(recorder)} records)")
     ok = errs.mean() < 0.35 and fcu.status == FCUSim.MPC_ON
     print("RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1

@@ -1,0 +1,71 @@
+"""Flight recording (L7) — the framework's ULog/PlotJuggler-asset analogue.
+
+The reference's offline analysis pipeline is PX4 ULog + committed
+PlotJuggler layouts overlaying commanded vs achieved rates/motors
+(``launch/new_analyze_mpc_v3.xml``, ``pj_setpoint_layout.xml``; SURVEY.md
+§2.14). Here:
+
+- :class:`FlightRecorder` — accumulates per-tick records (state, command,
+  reference, solver stats) and writes ``.npz`` flight logs;
+- ``tools/analyze.py`` renders the same comparisons (commanded vs achieved
+  motors/rates, tracking error, solver health) to PNG from those logs.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+__all__ = ["FlightRecorder", "load_flight_log"]
+
+_FIELDS = ("t", "state", "cmd_motors", "cmd_thrust_rates", "ref", "mpc_on",
+           "weight_motors", "solve_time", "num_steps", "opt_cost", "mpc_indx")
+
+
+class FlightRecorder:
+    """Append-only in-memory flight log with .npz export."""
+
+    def __init__(self):
+        self._rows: List[Dict] = []
+
+    def record(self, t: float, state: np.ndarray,
+               cmd_motors: Optional[np.ndarray] = None,
+               cmd_thrust_rates: Optional[np.ndarray] = None,
+               ref: Optional[np.ndarray] = None,
+               mpc_on: int = 0, weight_motors: int = 0,
+               solve_time: float = 0.0, num_steps: int = 0,
+               opt_cost: float = 0.0, mpc_indx: int = 0) -> None:
+        self._rows.append(dict(
+            t=float(t),
+            state=np.asarray(state, np.float32).copy(),
+            cmd_motors=(np.zeros(6, np.float32) if cmd_motors is None
+                        else np.asarray(cmd_motors, np.float32).copy()),
+            cmd_thrust_rates=(np.zeros(4, np.float32) if cmd_thrust_rates is None
+                              else np.asarray(cmd_thrust_rates, np.float32).copy()),
+            ref=(np.full(13, np.nan, np.float32) if ref is None
+                 else np.asarray(ref, np.float32).copy()),
+            mpc_on=int(mpc_on), weight_motors=int(weight_motors),
+            solve_time=float(solve_time), num_steps=int(num_steps),
+            opt_cost=float(opt_cost), mpc_indx=int(mpc_indx),
+        ))
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+    def arrays(self) -> Dict[str, np.ndarray]:
+        out = {}
+        for f in _FIELDS:
+            vals = [r[f] for r in self._rows]
+            out[f] = np.stack(vals) if isinstance(vals[0], np.ndarray) else np.asarray(vals)
+        return out
+
+    def save(self, path: str) -> None:
+        path = os.path.expanduser(path)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez_compressed(path, **self.arrays())
+
+
+def load_flight_log(path: str) -> Dict[str, np.ndarray]:
+    d = np.load(os.path.expanduser(path))
+    return {k: d[k] for k in d.files}

@@ -1,0 +1,167 @@
+"""Node launcher (L7) — the roslaunch tier, ROS-free.
+
+The reference wires nodes with per-node ``<param>`` blocks in launch files
+(``launch/iris_sdectrl.launch:4-9`` -> ``sde_control.py:95-111``). Here a
+launch YAML names the node type and its parameters; ``python -m
+sde4mbrl_px4_tpu.launch configs/launch/iris_sdectrl.yaml`` brings it up:
+
+- ``node: sde_control`` — the async MPC engine serving the MAVLink UDP
+  side-channel (plus the mission REPL on stdin when ``--repl``);
+- ``node: geometric_controller`` — the native baseline controller bound to
+  the same transport.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Any, Dict
+
+import yaml
+
+__all__ = ["launch_from_file", "main"]
+
+
+def _load(path: str) -> Dict[str, Any]:
+    with open(os.path.expanduser(path)) as f:
+        cfg = yaml.safe_load(f)
+    cfg["_dir"] = os.path.dirname(os.path.abspath(path))
+    return cfg
+
+
+def launch_sde_control(cfg: Dict[str, Any], repl: bool = False):
+    """Start the MPC engine node (reference sde_control main,
+    ``sde_control.py:750-769``)."""
+    from sde4mbrl_px4_tpu.io.engine_runtime import SDEControlNode
+
+    base = cfg.get("config_dir", "configs")
+    if not os.path.isabs(base):
+        # Resolve relative config_dir against CWD first, then against the
+        # launch file's grandparent (launch files live in <root>/configs/launch).
+        cand = [os.path.abspath(base),
+                os.path.join(os.path.dirname(os.path.dirname(cfg["_dir"])), base)]
+        base = next((c for c in cand if os.path.isdir(c)), cand[0])
+    traj = os.path.join(base, cfg["traj_ctrl"])
+    sp = os.path.join(base, cfg["sp_ctrl"])
+    print(f"[launch] compiling engine: traj={traj} sp={sp}", flush=True)
+    node = SDEControlNode(traj, sp, seed=int(cfg.get("seed", 0)))
+    node.start()
+    addr = cfg.get("addr_mavlink_state_msg", "127.0.0.1:14998")
+    node.serve_mavlink(addr)
+    print(f"[launch] engine serving MPC_FULL_STATE on udp:{addr}", flush=True)
+
+    report_dt = float(cfg.get("mpc_report_dt", 0.2))
+    log_file = cfg.get("log_file")
+    logf = open(log_file, "a") if log_file else None
+
+    if repl:
+        from sde4mbrl_px4_tpu.cli.mission import repl as run_repl, MissionControl
+
+        # REPL without a vehicle adapter: engine-only verbs.
+        class _NullVehicle:
+            armed = False
+            flight_mode = "OFFBOARD"
+            def arm(self, v): pass
+            def set_flight_mode(self, m): pass
+            def push_setpoint(self, p, y): pass
+            def position(self):
+                import numpy as np
+                return np.zeros(3)
+            def yaw(self): return 0.0
+            def mpc_status(self): return 0
+
+        ctl = MissionControl(_NullVehicle(), engine=node, auto_spin=True)
+        run_repl(ctl)
+        node.stop()
+        return node
+
+    try:
+        while True:
+            time.sleep(report_dt)
+            rec = node.last_record
+            line = rec.to_json()
+            print(f"[telemetry] {line}", flush=True)
+            if logf:
+                logf.write(line + "\n")
+                logf.flush()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        node.stop()
+        if logf:
+            logf.close()
+    return node
+
+
+def launch_geometric(cfg: Dict[str, Any]):
+    """Start the native geometric controller on the MAVLink side-channel."""
+    import numpy as np
+
+    from sde4mbrl_px4_tpu.baselines.geometric import (
+        GeoParams, NativeGeometricController,
+    )
+    from sde4mbrl_px4_tpu.core.frames import ned2enu
+    from sde4mbrl_px4_tpu.io.mavlink import MavlinkUDP
+
+    ctl = NativeGeometricController(GeoParams())
+    # flat param file IS the launch cfg (reference loadParameters schema)
+    tmp = dict(cfg)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
+        for k, v in cfg.items():
+            if not k.startswith("_") and k not in ("node", "trajectory_path"):
+                f.write(f"{k}: {v}\n")
+        pth = f.name
+    ctl.load_params_file(pth)
+    os.unlink(pth)
+    traj = cfg.get("trajectory_path")
+    if traj:
+        if not os.path.isabs(traj):
+            traj = os.path.join(os.path.dirname(cfg["_dir"]), traj)
+        ctl.load_trajectory(traj)
+
+    addr = cfg.get("addr_mavlink_state_msg", "127.0.0.1:14998")
+    link = MavlinkUDP(addr, mode="udpin")
+    print(f"[launch] geometric controller on udp:{addr}", flush=True)
+    t0 = time.time()
+    try:
+        while True:
+            msg = link.recv_match(type="MPC_FULL_STATE", timeout=0.1)
+            if msg is None:
+                continue
+            x_enu = np.asarray(ned2enu(msg.state))
+            sp = ctl.sample_trajectory(time.time() - t0)
+            if sp is None:
+                continue
+            pos, vel, acc, yaw = sp
+            cmd, _ = ctl.update(x_enu.astype(np.float64), pos, vel, acc, yaw)
+            # thrust + FRD body rates out (FLU->FRD flips y,z)
+            tr = np.array([cmd[3], cmd[0], -cmd[1], -cmd[2]], np.float32)
+            link.send_motors_cmd(int(time.time() * 1e6), np.zeros(6, np.float32),
+                                 tr, 3, 0)
+    except KeyboardInterrupt:
+        pass
+
+
+def launch_from_file(path: str, repl: bool = False):
+    cfg = _load(path)
+    node_type = cfg.get("node", "sde_control")
+    if node_type == "sde_control":
+        return launch_sde_control(cfg, repl=repl)
+    if node_type == "geometric_controller":
+        return launch_geometric(cfg)
+    raise ValueError(f"unknown node type {node_type!r}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("launch_file")
+    ap.add_argument("--repl", action="store_true", help="attach the mission REPL")
+    args = ap.parse_args(argv)
+    launch_from_file(args.launch_file, repl=args.repl)
+
+
+if __name__ == "__main__":
+    main()

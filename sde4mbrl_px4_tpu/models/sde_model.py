@@ -63,7 +63,9 @@ def mlp_apply(params: Dict[str, Any], h: jax.Array) -> jax.Array:
     for i in range(n_layers):
         w, b = params[f"w{i}"], params[f"b{i}"]
         h = jax.lax.dot_general(
-            h, w, (((h.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            h, w, (((h.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ) + b
         if i < n_layers - 1:
             h = jax.nn.swish(h)
@@ -100,7 +102,9 @@ def trunk_apply(params: Dict[str, Any], x: jax.Array, u: jax.Array):
     for i in range(n_layers):
         w, b = net[f"w{i}"], net[f"b{i}"]
         h = jax.lax.dot_general(
-            h, w, (((h.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            h, w, (((h.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ) + b
         if i < n_layers - 1:
             h = jax.nn.swish(h)

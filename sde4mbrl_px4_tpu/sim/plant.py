@@ -134,7 +134,7 @@ class FCUSim:
         thrust, w_des = float(thrust_rates4[0]), thrust_rates4[1:4]
         veh = self.plant.model.vehicle
         w_cur = self.plant.x[10:13]
-        k_rate = 0.1
+        k_rate = 0.6
         tau_cmd = k_rate * (w_des - w_cur)
         # wrench = [T_total, tau]: T_total target = thrust * n_motors * ct
         mix = veh.mixing

@@ -1,0 +1,96 @@
+"""Model-learning tests: the trainer identifies dynamics from data."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sde4mbrl_px4_tpu.learning.trainer import (
+    TrainConfig,
+    TrajectoryDataset,
+    make_loss_fn,
+    train_sde,
+)
+from sde4mbrl_px4_tpu.core.types import hover_state
+from sde4mbrl_px4_tpu.models.sde_model import NeuralSDE, init_params
+from sde4mbrl_px4_tpu.models.vehicles import iris_config
+from sde4mbrl_px4_tpu.ops.rollout import rollout_mean
+
+
+def _generate_flight_data(params, model, n_steps=600, dt=0.02, seed=0):
+    """Excite the true model with hover + perturbation inputs."""
+    rs = np.random.RandomState(seed)
+    x = hover_state()
+    xs, us = [np.asarray(x)], []
+    u_base = np.full((model.n_u,), model.vehicle.hover_u, np.float32)
+    for k in range(n_steps):
+        u = np.clip(
+            u_base + 0.05 * np.sin(0.05 * k + np.arange(model.n_u))
+            + 0.01 * rs.randn(model.n_u), 1e-4, 1.0
+        ).astype(np.float32)
+        path = rollout_mean(model, params, jnp.asarray(xs[-1]), jnp.asarray(u)[None],
+                            jnp.full((1,), dt))
+        xs.append(np.asarray(path[1]))
+        us.append(u)
+    t = np.arange(n_steps + 1) * dt
+    return t[:-1], np.stack(xs[:-1]), np.stack(us)
+
+
+@pytest.fixture(scope="module")
+def true_and_init():
+    model = NeuralSDE(vehicle=iris_config())
+    # "true" vehicle: +10% motor gain on the thrust row
+    true_params = jax.tree.map(jnp.asarray, init_params(jax.random.PRNGKey(1), model))
+    true_params["motor"]["log_gain"] = jnp.array([0.1, 0.0, 0.0, 0.0])
+    init = jax.tree.map(jnp.asarray, init_params(jax.random.PRNGKey(2), model))
+    return model, true_params, init
+
+
+def test_dataset_windows():
+    t = np.arange(20) * 0.02
+    x = np.random.randn(20, 13).astype(np.float32)
+    u = np.random.rand(20, 4).astype(np.float32)
+    ds = TrajectoryDataset(t, x, u, window=4)
+    assert ds.x0.shape == (16, 13)
+    assert ds.u_win.shape == (16, 4, 4)
+    assert ds.x_tgt.shape == (16, 4, 13)
+    np.testing.assert_allclose(ds.x_tgt[0, 0], x[1])
+    np.testing.assert_allclose(ds.x_tgt[3, 2], x[6])
+    assert ds.dt == pytest.approx(0.02)
+
+
+def test_dataset_too_short_raises():
+    with pytest.raises(ValueError):
+        TrajectoryDataset(np.arange(3.0), np.zeros((3, 13)), np.zeros((3, 4)), 8)
+
+
+def test_training_reduces_loss(true_and_init):
+    model, true_params, init = true_and_init
+    t, x, u = _generate_flight_data(true_params, model)
+    cfg = TrainConfig(window=4, batch_size=64, steps=120, lr=3e-3)
+    ds = TrajectoryDataset(t, x, u, cfg.window)
+    loss_fn = make_loss_fn(model, ds.dt, cfg)
+    it = ds.batches(256, seed=3)
+    b0 = next(it)
+    loss_before = float(loss_fn(init, *b0))
+    trained, metrics = train_sde(model, init, ds, cfg, log_every=0)
+    loss_after = float(loss_fn(trained, *b0))
+    assert loss_after < loss_before - 0.1, (loss_before, loss_after)
+
+
+def test_training_improves_prediction(true_and_init):
+    model, true_params, init = true_and_init
+    t, x, u = _generate_flight_data(true_params, model, seed=5)
+    cfg = TrainConfig(window=4, batch_size=64, steps=150, lr=3e-3)
+    ds = TrajectoryDataset(t, x, u, cfg.window)
+    trained, _ = train_sde(model, init, ds, cfg, log_every=0)
+
+    # open-loop 10-step prediction error on held-out segment
+    x0 = jnp.asarray(x[500])
+    useq = jnp.asarray(u[500:510])
+    dts = jnp.full((10,), ds.dt)
+    ref = rollout_mean(model, true_params, x0, useq, dts)
+    pred_init = rollout_mean(model, init, x0, useq, dts)
+    pred_trained = rollout_mean(model, trained, x0, useq, dts)
+    e_init = float(jnp.linalg.norm(pred_init[-1, 3:6] - ref[-1, 3:6]))
+    e_trained = float(jnp.linalg.norm(pred_trained[-1, 3:6] - ref[-1, 3:6]))
+    assert e_trained < e_init
