@@ -78,12 +78,80 @@ def main():
         f"p99={np.percentile(lat,99)*1e3:.2f}ms  steps/solve={float(sol.opt_state.num_steps):.0f}"
     )
 
+    # -- secondary benchmarks (stderr): BASELINE configs 4-5 ----------------
+    try:
+        _bench_particles(here, _log)
+    except Exception as e:  # noqa: BLE001 — secondary metric must not kill bench
+        _log(f"particle bench skipped: {e!r}")
+    try:
+        _bench_batched_throughput(here, _log)
+    except Exception as e:  # noqa: BLE001
+        _log(f"batched bench skipped: {e!r}")
+
     print(json.dumps({
         "metric": "mpc_solves_per_sec_iris_traj",
         "value": round(float(solves_per_sec), 3),
         "unit": "solves/s",
         "vs_baseline": round(float(solves_per_sec) / 20.0, 3),
     }))
+
+
+def _bench_particles(here, _log, P=1024):
+    """Uncertainty-aware MPC: 1024 Monte-Carlo sample paths per solve
+    (BASELINE config 4)."""
+    import jax
+    import jax.numpy as jnp
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+    from sde4mbrl_px4_tpu.io.config import load_yaml_config
+    from sde4mbrl_px4_tpu.core.types import hover_state
+
+    cfg = load_yaml_config(os.path.join(here, "configs", "iris_posctrl_mpc.yaml"))
+    cfg["num_particles"] = P
+    cfg["apg_mpc"]["max_iter"] = 50
+    _, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(dict(cfg))
+    x0 = hover_state()
+    rng = jax.random.PRNGKey(0)
+    st = reset_fn(x0, rng, x0)
+    jm = jax.jit(mpc_fn)
+    sol = jm(x0, rng, st, jnp.float32(0.0), x0)
+    jax.block_until_ready(sol.u_opt)
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        sol = jm(x0, sol.rng, sol.opt_state, jnp.float32(0.0), x0)
+    jax.block_until_ready(sol.u_opt)
+    dt_s = (time.perf_counter() - t0) / n
+    _log(f"{P}-particle uncertainty solve (50 iters): {dt_s*1e3:.1f} ms "
+         f"({P/dt_s:.0f} sampled paths*solves/s)")
+
+
+def _bench_batched_throughput(here, _log, B=256):
+    """Scenario-DP throughput: B independent warm-started solves per step
+    (BASELINE config 5, single-chip datapoint)."""
+    import jax
+    import jax.numpy as jnp
+    from sde4mbrl_px4_tpu.io.config import load_yaml_config
+    from sde4mbrl_px4_tpu.parallel.mesh import make_mesh
+    from sde4mbrl_px4_tpu.parallel.batched import make_batched_mpc, make_batch_inputs
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    cfg = load_yaml_config(os.path.join(here, "configs", "iris_posctrl_mpc.yaml"))
+    cfg["apg_mpc"]["max_iter"] = 50
+    mesh = make_mesh((len(jax.devices()), 1))
+    reset_b, mpc_b, _ = make_batched_mpc(cfg, mesh)
+    xs, rngs = make_batch_inputs(mesh, B, spread=0.5)
+    ts = jax.device_put(jnp.zeros((B,)), NamedSharding(mesh, Pspec("dp")))
+    st = reset_b(xs, rngs, xs)
+    sol = mpc_b(xs, rngs, st, ts, xs)
+    jax.block_until_ready(sol.u_opt)
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        sol = mpc_b(xs, sol.rng, sol.opt_state, ts, xs)
+    jax.block_until_ready(sol.u_opt)
+    dt_s = (time.perf_counter() - t0) / n
+    _log(f"batched {B}-scenario solve step (50 iters): {dt_s*1e3:.1f} ms "
+         f"= {B/dt_s:.0f} solves/s/chip throughput")
 
 
 if __name__ == "__main__":

@@ -46,6 +46,15 @@ class CostParams(NamedTuple):
     u_slew_constr: Optional[jax.Array]  # (n_u, 2) [lo, hi] du/dt box, or None
     u_slew_constr_coeff: jax.Array      # scalar
     discount: jax.Array        # scalar
+    # Soft state constraints (``state_constr`` block, present-but-commented
+    # in the reference configs, ``iris_sitl_traj_mpc.yaml:16-29`` — part of
+    # the solver's capability surface per SURVEY.md §2.10). Densified onto
+    # the full 13-state: weight 0 disables a component.
+    state_pen13: Optional[jax.Array] = None   # (13,) penalty (0 = unconstrained)
+    state_lo13: Optional[jax.Array] = None    # (13,) lower bounds (-1e9 pad)
+    state_hi13: Optional[jax.Array] = None    # (13,) upper bounds (+1e9 pad)
+    state_inv_scale13: Optional[jax.Array] = None  # (13,) 1/slack_scaling
+    constr_pen: jax.Array = jnp.float32(0.0)  # global multiplier
 
     @staticmethod
     def from_config(cfg: Dict[str, Any], n_u: int) -> "CostParams":
@@ -56,6 +65,32 @@ class CostParams(NamedTuple):
             return jnp.asarray(np.broadcast_to(a, (n,)))
 
         slew_constr = cp.get("u_slew_constr")
+
+        sc = cfg.get("state_constr")
+        pen13 = lo13 = hi13 = inv13 = None
+        constr_pen = 0.0
+        if sc is not None:
+            if sc.get("slack_proximal"):
+                raise NotImplementedError(
+                    "state_constr.slack_proximal=True (proximal slack "
+                    "variables) is not implemented; use the penalty form "
+                    "(slack_proximal: False)"
+                )
+            ids = list(sc["state_id"])
+            pen = np.zeros(13, np.float32)
+            lo = np.full(13, -1e9, np.float32)
+            hi = np.full(13, 1e9, np.float32)
+            inv = np.ones(13, np.float32)
+            pen[ids] = np.asarray(sc["state_penalty"], np.float32)
+            b = np.asarray(sc["state_bound"], np.float32)
+            lo[ids] = b[:, 0]
+            hi[ids] = b[:, 1]
+            inv[ids] = 1.0 / np.asarray(sc.get("slack_scaling", np.ones(len(ids))),
+                                        np.float32)
+            pen13, lo13, hi13 = jnp.asarray(pen), jnp.asarray(lo), jnp.asarray(hi)
+            inv13 = jnp.asarray(inv)
+            constr_pen = float(sc.get("constr_pen", 1.0))
+
         return CostParams(
             uref=vec(cp["uref"], n_u),
             uerr=jnp.float32(cp.get("uerr", 0.0)),
@@ -68,6 +103,11 @@ class CostParams(NamedTuple):
             u_slew_constr=None if slew_constr is None else jnp.asarray(slew_constr, jnp.float32),
             u_slew_constr_coeff=jnp.float32(cp.get("u_slew_constr_coeff", 0.0)),
             discount=jnp.float32(cfg.get("discount", 1.0)),
+            state_pen13=pen13,
+            state_lo13=lo13,
+            state_hi13=hi13,
+            state_inv_scale13=inv13,
+            constr_pen=jnp.float32(constr_pen),
         )
 
 
@@ -106,6 +146,14 @@ def make_cost_fn(cp: CostParams, time_steps: jax.Array):
             x_paths = x_paths[None]
         # Tracking: stages 1..H of each particle path, discounted, mean over particles.
         track = _stage_tracking(cp, x_paths[:, 1:, :], x_ref[None, 1:, :])  # (P, H)
+        if cp.state_pen13 is not None:
+            # Soft state-box violations, scaled (slack_scaling) and
+            # penalized quadratically; discounted like the tracking stages.
+            xs = x_paths[:, 1:, :]
+            over = jnp.maximum(xs - cp.state_hi13, 0.0) * cp.state_inv_scale13
+            under = jnp.maximum(cp.state_lo13 - xs, 0.0) * cp.state_inv_scale13
+            viol = jnp.sum(cp.state_pen13 * (over * over + under * under), -1)
+            track = track + cp.constr_pen * viol
         j_track = jnp.mean(jnp.sum(disc * track, axis=-1))
 
         # Control effort about uref.

@@ -250,8 +250,12 @@ def make_mpc_from_config(
         u_opt = st.yk
 
         # Predicted mean trajectory: body-rate columns feed the FCU fallback
-        # thrust+rates channel (``sde_control.py:432``).
-        x_evol = rollout_mean(model, params, x, u_opt, time_steps)
+        # thrust+rates channel (``sde_control.py:432``). The fused kernel
+        # path evaluates it on-chip too.
+        if use_pallas and hasattr(seq_cost, "trajectory"):
+            x_evol = seq_cost.trajectory(u_opt)
+        else:
+            x_evol = rollout_mean(model, params, x, u_opt, time_steps)
 
         # Receding-horizon warm-start shift by one control period.
         yk_next = jnp.concatenate([u_opt[1:], u_opt[-1:]], axis=0)

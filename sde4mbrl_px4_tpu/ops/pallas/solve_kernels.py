@@ -93,13 +93,19 @@ def _qmul_omega(q, omega):
 # Single EM step + stage cost, on values (the unit both loops build on)
 # --------------------------------------------------------------------------
 
-def _make_step(veh_mass: float, has_noise: bool):
-    """Returns step(p, v, q, om, u_b, z, r, dt, W) ->
+def _make_step(veh_mass: float, has_noise: bool, has_state_constr: bool = False):
+    """Returns step(p, v, q, om, u_b, z, r, dt, W, sc) ->
     ((p', v', q', om'), track (B,1), res2 (B,1))
     where W = (w0,b0,w1,b1,w2,b2, mix_eff, inertia, wstate, diff_scale).
+
+    ``sc``: when ``has_state_constr``, a tuple of four (1,13) arrays
+    (pen13 incl. the global constr_pen multiplier, lo13, hi13, inv13) —
+    the soft state-box penalty (reference ``state_constr`` schema,
+    ``iris_sitl_traj_mpc.yaml:16-29``). They are kernel INPUTS (Mosaic
+    forbids captured array constants).
     """
 
-    def step(p_, v, q, omega, u_b, z, r, dt, W):
+    def step(p_, v, q, omega, u_b, z, r, dt, W, sc=None):
         w0, b0, w1, b1, w2, b2, mix_eff, inertia, wstate, diff_scale = W
         B = p_.shape[0]
         f32 = p_.dtype
@@ -166,6 +172,18 @@ def _make_step(veh_mass: float, has_noise: bool):
             + jnp.sum(wstate[:, 6:9] * dqv * dqv, axis=1, keepdims=True)
             + jnp.sum(wstate[:, 9:12] * dw * dw, axis=1, keepdims=True)
         )
+        if has_state_constr:
+            pen13, lo13, hi13, inv13 = sc
+            segs = ((p1, slice(0, 3)), (v1, slice(3, 6)),
+                    (q1, slice(6, 10)), (om1, slice(10, 13)))
+            for xcomp, sl in segs:
+                over = jnp.maximum(xcomp - hi13[:, sl], 0.0) * inv13[:, sl]
+                under = jnp.maximum(lo13[:, sl] - xcomp, 0.0) * inv13[:, sl]
+                track = track + jnp.sum(
+                    pen13[:, sl] * (over * over + under * under),
+                    axis=1, keepdims=True,
+                )
+
         res2 = jnp.sum(sig6 * sig6, axis=1, keepdims=True)
         return (p1, v1, q1, om1), track, res2
 
@@ -273,8 +291,18 @@ def pallas_cost_oracle(
         time_steps.reshape(H, 1).astype(f32),           # (H, 1)
         disc.reshape(H, 1),                             # (H, 1)
         wstate, cp.uref.reshape(1, n), slew_lo, slew_hi, scal,
-        # SMEM twins of tsteps/disc for dynamic per-step scalar reads inside
-        # the fori_loop (dynamic_slice of VMEM *values* is not lowerable).
+    )
+    has_sc = cp.state_pen13 is not None
+    if has_sc:
+        consts = consts + (
+            (cp.constr_pen * cp.state_pen13).reshape(1, 13),
+            cp.state_lo13.reshape(1, 13),
+            cp.state_hi13.reshape(1, 13),
+            cp.state_inv_scale13.reshape(1, 13),
+        )
+    # SMEM twins of tsteps/disc for dynamic per-step scalar reads inside
+    # the fori_loop (dynamic_slice of VMEM *values* is not lowerable).
+    consts = consts + (
         time_steps.reshape(H, 1).astype(f32),
         disc.reshape(H, 1),
     )
@@ -282,7 +310,9 @@ def pallas_cost_oracle(
     _vmem, _smem = (pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM))
     const_specs = [_vmem] * (n_const - 2) + [_smem, _smem]
-    step = _make_step(float(model.vehicle.mass), has_noise=not deterministic)
+    step = _make_step(float(model.vehicle.mass), has_noise=not deterministic,
+                      has_state_constr=has_sc)
+    _N_SC = 4 if has_sc else 0
 
     # ------------------------------------------------------------------
     # value_batch kernel: K candidates x P particles, fori_loop over H
@@ -292,8 +322,9 @@ def pallas_cost_oracle(
         out_ref = refs[n_const]
         (x0_ref, xref_ref, uprev_ref, noise_ref, *wrefs) = const_refs
         ts_s, ds_s = wrefs[-2], wrefs[-1]      # SMEM refs (dynamic reads)
+        sc_vals = tuple(r[:] for r in wrefs[-2 - _N_SC:-2]) if _N_SC else None
         (W0, B0, W1, B1, W2, B2, MIX, IN, TS, DS, WS, UREF, SLO, SHI, SC) = (
-            r[:] for r in wrefs[:-2]
+            r[:] for r in wrefs[: -2 - _N_SC]
         )
         Kb = u_ref.shape[1]
         B = Kb * P
@@ -319,7 +350,7 @@ def pallas_cost_oracle(
             r = xref_ref[t + 1]
             dt = ts_s[t, 0]
             d_t = ds_s[t, 0]
-            (p1, v1, q1, om1), track, res2 = step(p_, v, q, om, u_b, z, r, dt, W)
+            (p1, v1, q1, om1), track, res2 = step(p_, v, q, om, u_b, z, r, dt, W, sc_vals)
             return (p1, v1, q1, om1, jt + d_t * track, jr + d_t * res2)
 
         f32_ = x0v.dtype
@@ -364,8 +395,9 @@ def pallas_cost_oracle(
         xs_ref = refs[n_const + 2]              # (H+1, P, 13) scratch
         (x0_ref, xref_ref, uprev_ref, noise_ref, *wrefs) = const_refs
         ts_s, ds_s = wrefs[-2], wrefs[-1]      # SMEM refs (dynamic reads)
+        sc_vals = tuple(r[:] for r in wrefs[-2 - _N_SC:-2]) if _N_SC else None
         (W0, B0, W1, B1, W2, B2, MIX, IN, TS, DS, WS, UREF, SLO, SHI, SC) = (
-            r[:] for r in wrefs[:-2]
+            r[:] for r in wrefs[: -2 - _N_SC]
         )
         B = P
         W = (W0, B0, W1, B1, W2, B2, MIX, IN, WS, SC[0, 1])
@@ -383,7 +415,7 @@ def pallas_cost_oracle(
             r = xref_ref[t + 1]
             dt = ts_s[t, 0]
             d_t = ds_s[t, 0]
-            (p1, v1, q1, om1), track, res2 = step(p_, v, q, om, u_b, z, r, dt, W)
+            (p1, v1, q1, om1), track, res2 = step(p_, v, q, om, u_b, z, r, dt, W, sc_vals)
             xs_ref[t + 1] = jnp.concatenate([p1, v1, q1, om1], axis=1)
             return (jt + d_t * jnp.mean(track), jr + d_t * jnp.mean(res2))
 
@@ -417,7 +449,7 @@ def pallas_cost_oracle(
 
             def f(p_a, v_a, q_a, om_a, u_a):
                 (p1, v1, q1, om1), track, res2 = step(p_a, v_a, q_a, om_a,
-                                                      u_a, z, r, dt, W)
+                                                      u_a, z, r, dt, W, sc_vals)
                 return p1, v1, q1, om1, jnp.mean(track), jnp.mean(res2)
 
             _, vjp_fn = jax.vjp(f, p_, v, q, om, u_b)
@@ -477,4 +509,61 @@ def pallas_cost_oracle(
     def value(u):
         return value_batch(u[None])[0]
 
-    return CostOracle(value=value, value_batch=value_batch, value_and_grad=value_and_grad)
+    # ------------------------------------------------------------------
+    # mean-trajectory kernel: x_evol (H+1, 13) for the applied plan — the
+    # predicted body rates feed the FCU fallback channel
+    # (reference sde_control.py:432). Mean dynamics (no Brownian term),
+    # matching ops/rollout.rollout_mean.
+    # ------------------------------------------------------------------
+    step_mean = _make_step(float(model.vehicle.mass), has_noise=False,
+                           has_state_constr=False)
+
+    def _traj_kernel(u_ref, *refs):
+        const_refs = refs[:n_const]
+        out_ref = refs[n_const]                 # (H+1, 1, 13)
+        (x0_ref, xref_ref, uprev_ref, noise_ref, *wrefs) = const_refs
+        ts_s, ds_s = wrefs[-2], wrefs[-1]
+        (W0, B0, W1, B1, W2, B2, MIX, IN, TS, DS, WS, UREF, SLO, SHI, SC) = (
+            r[:] for r in wrefs[: -2 - _N_SC]
+        )
+        W = (W0, B0, W1, B1, W2, B2, MIX, IN, WS, SC[0, 1])
+        x0v = x0_ref[:]
+        out_ref[0] = x0v
+
+        def body(t, _):
+            st = out_ref[t]
+            p_, v, q, om = st[:, 0:3], st[:, 3:6], st[:, 6:10], st[:, 10:13]
+            u_b = u_ref[t]
+            z = noise_ref[0]                    # unused (mean dynamics)
+            r = xref_ref[t + 1]
+            dt = ts_s[t, 0]
+            (p1, v1, q1, om1), _, _ = step_mean(p_, v, q, om, u_b, z, r, dt, W)
+            out_ref[t + 1] = jnp.concatenate([p1, v1, q1, om1], axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, H, body, 0)
+
+    def trajectory(u):  # (H, n) -> (H+1, 13)
+        out = pl.pallas_call(
+            _traj_kernel,
+            out_shape=jax.ShapeDtypeStruct((H + 1, 1, 13), f32),
+            in_specs=[_spec()] + const_specs,
+            out_specs=_spec(),
+            interpret=interpret,
+        )(u.astype(f32).reshape(H, 1, n), *consts)
+        return out[:, 0, :]
+
+    return _OracleWithTraj(value, value_batch, value_and_grad, trajectory)
+
+
+class _OracleWithTraj(CostOracle):
+    """CostOracle + fused mean-trajectory evaluation (x_evol)."""
+
+    def __new__(cls, value, value_batch, value_and_grad, trajectory):
+        self = super().__new__(cls, value, value_batch, value_and_grad)
+        self._trajectory = trajectory
+        return self
+
+    @property
+    def trajectory(self):
+        return self._trajectory

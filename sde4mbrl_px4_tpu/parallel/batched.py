@@ -44,8 +44,12 @@ def make_batched_mpc(
     The opt_state argument is donated (``donate_state``) so warm starts
     update in place on device across control steps — no HBM churn.
     """
+    # Scenario-DP uses the XLA solve path: the per-op dispatch overhead that
+    # motivates the fused kernels amortizes across the vmapped batch (256
+    # batched rollouts cost ~2.5x one rollout, measured), and vmap-of-
+    # pallas_call is not exercised.
     _, (reset_fn, mpc_fn), _, bundle = make_mpc_from_config(
-        dict(cfg), convert_to_enu=convert_to_enu
+        dict(cfg), convert_to_enu=convert_to_enu, use_pallas=False
     )
 
     batch = NamedSharding(mesh, P("dp"))

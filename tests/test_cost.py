@@ -139,3 +139,45 @@ def test_particle_mean_reduction():
         jnp.broadcast_to(x_off, (H + 1, 13)),
     ])
     assert float(cost(xp, None, u, ref)) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_state_constraint_penalty():
+    """state_constr schema (reference iris_sitl_traj_mpc.yaml:16-29):
+    soft box on selected state components with slack scaling."""
+    H = 2
+    cfg = {
+        "cost_params": {
+            "uref": [0.5] * 4, "uerr": 0.0, "perr": [0., 0., 0.],
+            "verr": [0.] * 3, "qerr": [0.] * 3, "werr": [0.] * 3,
+            "res_mult": 0.0, "u_slew_coeff": 0.0,
+        },
+        "discount": 1.0,
+        "state_constr": {
+            "state_id": [3, 4],            # vx, vy
+            "state_penalty": [10.0, 20.0],
+            "slack_scaling": [2.0, 2.0],
+            "state_bound": [[-0.5, 0.5], [-0.5, 0.5]],
+            "slack_proximal": False,
+            "constr_pen": 0.1,
+        },
+    }
+    cp = CostParams.from_config(cfg, 4)
+    cost = make_cost_fn(cp, jnp.full((H,), 0.05))
+    x = hover_state().at[3].set(1.5)  # vx = 1.5 -> violation 1.0, scaled 0.5
+    xp = jnp.broadcast_to(x, (1, H + 1, 13))
+    u = jnp.broadcast_to(cp.uref, (H, 4))
+    ref = jnp.broadcast_to(hover_state(), (H + 1, 13))
+    # 0.1 * 10 * (0.5)^2 per stage * 2 stages = 0.5
+    assert float(cost(xp, None, u, ref)) == pytest.approx(0.5, rel=1e-5)
+
+
+def test_state_constraint_proximal_unimplemented():
+    cfg = {
+        "cost_params": {"uref": [0.5] * 4},
+        "state_constr": {
+            "state_id": [3], "state_penalty": [1.0],
+            "state_bound": [[-1, 1]], "slack_proximal": True,
+        },
+    }
+    with pytest.raises(NotImplementedError, match="slack_proximal"):
+        CostParams.from_config(cfg, 4)

@@ -125,3 +125,57 @@ def test_kernel_mpc_solve_matches_xla(iris_pos_bundle):
     assert float(sol_p.opt_state.opt_cost) == pytest.approx(
         float(sol_x.opt_state.opt_cost), rel=1e-4
     )
+    # fused mean-trajectory kernel (x_evol) parity with rollout_mean
+    np.testing.assert_allclose(
+        np.asarray(sol_p.x_evol), np.asarray(sol_x.x_evol), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_state_constraint_parity(iris_pos_bundle, u_test):
+    """state_constr soft box penalties: kernel matches XLA, value and grad."""
+    import copy
+
+    from sde4mbrl_px4_tpu.cost.cost import CostParams
+
+    cfg, fns, sft, b = iris_pos_bundle
+    cfg2 = dict(cfg)
+    cfg2["state_constr"] = {
+        "state_id": [3, 4, 5, 10, 11, 12],
+        "state_penalty": [10.0, 10.0, 20.0, 10.0, 10.0, 10.0],
+        "slack_scaling": [3.0] * 6,
+        "state_bound": [[-0.1, 0.1], [-0.1, 0.1], [-0.1, 0.1],
+                        [-0.2, 0.2], [-0.2, 0.2], [-0.2, 0.2]],
+        "slack_proximal": False,
+        "constr_pen": 0.5,
+    }
+    cp = CostParams.from_config(cfg2, 4)
+    H, n = 20, 4
+    rng = jax.random.PRNGKey(0)
+    x0 = hover_state().at[3].set(0.4)   # start with a violating velocity
+    x_ref = jnp.broadcast_to(hover_state(), (H + 1, 13))
+    noise = jnp.zeros((1, H, 13), jnp.float32)
+    cost_fn = make_cost_fn(cp, b.time_steps)
+
+    def seq_cost(u_seq):
+        xp, sg = rollout_sde(b.model, b.params, x0, u_seq, b.time_steps, rng,
+                             1, deterministic=True)
+        return cost_fn(xp, sg, u_seq, x_ref, cp.uref)
+
+    ora = pallas_cost_oracle(b.model, b.params, cp, b.time_steps, x0, x_ref,
+                             cp.uref, noise, 1, 4, interpret=True)
+    u = u_test(H, n, seed=13)
+    v_x, g_x = jax.value_and_grad(seq_cost)(u)
+    v_p, g_p = ora.value_and_grad(u)
+    assert float(v_x) == pytest.approx(float(v_p), rel=2e-5)
+    np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_p), rtol=5e-4,
+                               atol=5e-5)
+    # the constraint actually contributes (cost with vs without)
+    cp0 = CostParams.from_config(dict(cfg), 4)
+    cost0 = make_cost_fn(cp0, b.time_steps)
+
+    def seq_cost0(u_seq):
+        xp, sg = rollout_sde(b.model, b.params, x0, u_seq, b.time_steps, rng,
+                             1, deterministic=True)
+        return cost0(xp, sg, u_seq, x_ref, cp0.uref)
+
+    assert float(seq_cost(u)) > float(seq_cost0(u)) + 0.01
