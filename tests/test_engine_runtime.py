@@ -1,0 +1,117 @@
+"""Async engine node integration: mailbox doorbell flow, ingress->solve->
+pickup, services — without UDP (direct handle_state injection)."""
+import os
+import time
+
+import numpy as np
+import pytest
+import yaml
+
+from sde4mbrl_px4_tpu.core.frames import enu2ned
+from sde4mbrl_px4_tpu.core.types import (
+    CTRL_INACTIVE, CTRL_POSE_ACTIVE, CTRL_TRAJ_ACTIVE, CTRL_TRAJ_IDLE,
+    hover_state,
+)
+from sde4mbrl_px4_tpu.io.mailbox import native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library not built (make -C csrc)"
+)
+
+
+def _tiny_cfg(repo_root, with_traj):
+    cfg = yaml.safe_load(open(os.path.join(repo_root, "configs/iris_posctrl_mpc.yaml")))
+    cfg["horizon"] = 5
+    cfg["num_short_dt"] = 5
+    cfg["apg_mpc"]["max_iter"] = 10
+    cfg["apg_mpc"]["max_no_improvement_iter"] = 10
+    cfg["learned_model_params"] = os.path.join(repo_root, "configs/models/iris_sde.pkl")
+    if with_traj:
+        cfg["trajectory_path"] = os.path.join(repo_root, "configs/trajs/lemniscate.csv")
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def node(repo_root, tmp_path_factory):
+    from sde4mbrl_px4_tpu.io.engine_runtime import SDEControlNode
+
+    d = tmp_path_factory.mktemp("cfg")
+    traj_p = d / "traj.yaml"
+    pos_p = d / "pos.yaml"
+    traj_p.write_text(yaml.safe_dump(_tiny_cfg(repo_root, True)))
+    pos_p.write_text(yaml.safe_dump(_tiny_cfg(repo_root, False)))
+
+    clock = {"t": 0.0}
+    n = SDEControlNode(str(traj_p), str(pos_p), seed=0,
+                       now_fn=lambda: clock["t"],
+                       mailbox_name=f"test_engine_{os.getpid()}")
+    n._clock = clock
+    n.start()
+    yield n
+    n.stop()
+
+
+def _pump(node, x, t_usec, n=30, wait=0.02):
+    """Inject states until a command comes back (solver is async)."""
+    out = None
+    for _ in range(n):
+        out = node.handle_state(x, t_usec)
+        time.sleep(wait)
+        if out is not None:
+            break
+    return out
+
+
+def test_no_command_before_engagement(node):
+    x = np.asarray(enu2ned(hover_state()))
+    out = node.handle_state(x, 1e6)
+    assert out is None  # automata 'none' never actuates
+
+
+def test_services_and_command_flow(node):
+    # controller_init then CTRL_POSE_ACTIVE (the reference service sequence)
+    assert node.initialize_mpc()
+    tgt = np.asarray(hover_state()).copy()
+    tgt[2] = 1.5
+    ok, msg = node.set_mode(CTRL_POSE_ACTIVE, target_pose=tgt)
+    assert ok, msg
+    x = np.asarray(enu2ned(hover_state()))
+    node._clock["t"] = 10.0
+    out = _pump(node, x, 10e6)
+    assert out is not None, "no command produced by the async solver"
+    motors, rates, mpc_on, weight = out
+    assert motors.shape == (6,) and rates.shape == (4,)
+    assert mpc_on == 3  # pos mode
+    assert np.all(motors[:4] > 0.0) and np.all(motors[:4] <= 1.0)
+    assert node.last_record.num_steps >= 1
+    assert node.last_record.ctrl_state == "pos"
+
+
+def test_idle_then_traj_transition(node):
+    ok, _ = node.set_mode(CTRL_INACTIVE)
+    assert ok
+    assert node.initialize_mpc()
+    ok, msg = node.set_mode(CTRL_TRAJ_IDLE)
+    assert ok
+    x = np.asarray(enu2ned(hover_state()))
+    node._clock["t"] = 20.0
+    out = _pump(node, x, 20e6)
+    assert out is not None and out[2] == 4  # idle
+    # now start the trajectory (only from idle)
+    ok, msg = node.set_mode(CTRL_TRAJ_ACTIVE)
+    assert ok and "started" in msg
+    node._clock["t"] = 20.5
+    out = _pump(node, x, 20.5e6)
+    assert out is not None and out[2] == 5  # traj
+
+
+def test_plan_index_advances_with_time(node):
+    """Same plan, later sample time -> later index (async pickup)."""
+    x = np.asarray(enu2ned(hover_state()))
+    node.handle_state(x, 21.0e6)
+    time.sleep(0.3)  # let a solve land
+    node.handle_state(x, 21.0e6)
+    i0 = node.last_record.mpc_indx
+    node.handle_state(x, 21.0e6 + 2 * node.ctrl.traj.dt_usec)
+    i2 = node.last_record.mpc_indx
+    assert i2 >= i0
