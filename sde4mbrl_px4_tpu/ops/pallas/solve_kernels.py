@@ -405,11 +405,12 @@ def pallas_cost_oracle(
         x0v = x0_ref[:]
         xs_ref[0] = jnp.broadcast_to(x0v, (B, 13))
 
-        # ---- forward sweep: integrate + stash states, accumulate cost ----
+        # ---- forward sweep: integrate + stash states, accumulate cost.
+        # State travels in the carry; the stash is write-only here (the
+        # reverse sweep reads it) — per-step read-back of just-written VMEM
+        # serializes poorly in Mosaic.
         def fwd_body(t, carry):
-            jt, jr = carry
-            st = xs_ref[t]
-            p_, v, q, om = st[:, 0:3], st[:, 3:6], st[:, 6:10], st[:, 10:13]
+            p_, v, q, om, jt, jr = carry
             u_b = jnp.broadcast_to(u_ref[t], (B, n))
             z = noise_ref[t]
             r = xref_ref[t + 1]
@@ -417,11 +418,16 @@ def pallas_cost_oracle(
             d_t = ds_s[t, 0]
             (p1, v1, q1, om1), track, res2 = step(p_, v, q, om, u_b, z, r, dt, W, sc_vals)
             xs_ref[t + 1] = jnp.concatenate([p1, v1, q1, om1], axis=1)
-            return (jt + d_t * jnp.mean(track), jr + d_t * jnp.mean(res2))
+            return (p1, v1, q1, om1,
+                    jt + d_t * jnp.mean(track), jr + d_t * jnp.mean(res2))
 
-        j_track, j_res = jax.lax.fori_loop(
-            0, H, fwd_body, (jnp.float32(0.0), jnp.float32(0.0))
+        x0b = jnp.broadcast_to(x0v, (B, 13))
+        out = jax.lax.fori_loop(
+            0, H, fwd_body,
+            (x0b[:, 0:3], x0b[:, 3:6], x0b[:, 6:10], x0b[:, 10:13],
+             jnp.float32(0.0), jnp.float32(0.0)),
         )
+        j_track, j_res = out[4], out[5]
 
         uprev = uprev_ref[:]
         u_all = u_ref[:, 0, :]                  # (H, n)
@@ -530,18 +536,22 @@ def pallas_cost_oracle(
         x0v = x0_ref[:]
         out_ref[0] = x0v
 
-        def body(t, _):
-            st = out_ref[t]
-            p_, v, q, om = st[:, 0:3], st[:, 3:6], st[:, 6:10], st[:, 10:13]
+        # State travels in the fori carry; the output ref is write-only
+        # (reading an output back per-step serializes poorly in Mosaic).
+        def body(t, carry):
+            p_, v, q, om = carry
             u_b = u_ref[t]
             z = noise_ref[0]                    # unused (mean dynamics)
             r = xref_ref[t + 1]
             dt = ts_s[t, 0]
             (p1, v1, q1, om1), _, _ = step_mean(p_, v, q, om, u_b, z, r, dt, W)
             out_ref[t + 1] = jnp.concatenate([p1, v1, q1, om1], axis=1)
-            return 0
+            return (p1, v1, q1, om1)
 
-        jax.lax.fori_loop(0, H, body, 0)
+        jax.lax.fori_loop(
+            0, H, body,
+            (x0v[:, 0:3], x0v[:, 3:6], x0v[:, 6:10], x0v[:, 10:13]),
+        )
 
     def trajectory(u):  # (H, n) -> (H+1, 13)
         out = pl.pallas_call(
