@@ -177,6 +177,10 @@ def make_mpc_from_config(
         # the XLA path amortizes its op overhead over the big particle
         # tensors anyway. TODO(kernel): chunk the particle axis in-kernel.
         use_pallas = False
+    # Whole-solve mega-kernel (opt-out via SDE4MBRL_MEGA=0).
+    use_mega = bool(use_pallas) and os.environ.get("SDE4MBRL_MEGA", "1") not in (
+        "0", "false", "False"
+    )
 
     cost_fn = make_cost_fn(cost_params, time_steps)
     u_hover = jnp.broadcast_to(cost_params.uref, (H, n_u))
@@ -229,6 +233,27 @@ def make_mpc_from_config(
                 # particle-major for the kernel.
                 noise_p = jnp.transpose(
                     jax.random.normal(rng_noise, (H, P, 13), jnp.float32), (1, 0, 2)
+                )
+            if use_mega and apg_cfg.use_linesearch:
+                # Whole-solve mega-kernel: the entire APG loop in one Mosaic
+                # program (ops/pallas/apg_kernel.py).
+                from sde4mbrl_px4_tpu.ops.pallas.apg_kernel import pallas_apg_solve
+
+                st = pallas_apg_solve(
+                    model, params, cost_params, apg_cfg, time_steps, x, x_ref,
+                    u_prev, noise_p, P, lb, ub, opt_state.yk,
+                    interpret=pallas_interpret,
+                )
+                oracle = pallas_cost_oracle(
+                    model, params, cost_params, time_steps, x, x_ref, u_prev,
+                    noise_p, P, apg_cfg.maxls, interpret=pallas_interpret,
+                )
+                u_opt = st.yk
+                x_evol = oracle.trajectory(u_opt)
+                yk_next = jnp.concatenate([u_opt[1:], u_opt[-1:]], axis=0)
+                return MPCSolution(
+                    u_opt=u_opt, opt_state=st._replace(yk=yk_next),
+                    rng=rng_next, x_evol=x_evol,
                 )
             seq_cost = pallas_cost_oracle(
                 model, params, cost_params, time_steps, x, x_ref, u_prev,

@@ -1,0 +1,101 @@
+"""Mega-kernel parity: the whole-solve APG kernel must match the XLA
+apg_solve (vector-linesearch path) on real MPC problems."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sde4mbrl_px4_tpu.core.types import hover_state
+from sde4mbrl_px4_tpu.cost.cost import CostParams, make_cost_fn
+from sde4mbrl_px4_tpu.ops.pallas.apg_kernel import pallas_apg_solve
+from sde4mbrl_px4_tpu.ops.rollout import rollout_sde
+from sde4mbrl_px4_tpu.solver.apg import apg_solve
+
+
+def _solve_both(bundle_fixture, max_iter=10, x_off=(0.3, 0.2), sc_cfg=None,
+                num_particles=1):
+    cfg, fns, sft, b = bundle_fixture
+    H, n = 20, b.model.n_u
+    apg = b.apg_config._replace(max_iter=max_iter,
+                                max_no_improvement_iter=max_iter)
+    cp = b.cost_params
+    if sc_cfg is not None:
+        cfg2 = dict(cfg)
+        cfg2["state_constr"] = sc_cfg
+        cp = CostParams.from_config(cfg2, n)
+
+    rng = jax.random.PRNGKey(0)
+    x0 = hover_state().at[0].set(x_off[0]).at[3].set(x_off[1])
+    x_ref = jnp.broadcast_to(hover_state(), (H + 1, 13))
+    u_prev = cp.uref
+    u_init = jnp.broadcast_to(cp.uref, (H, n)) + 0.02
+
+    P = max(num_particles, 1)
+    deterministic = num_particles <= 1
+    if deterministic:
+        noise = jnp.zeros((P, H, 13), jnp.float32)
+    else:
+        noise = jnp.transpose(jax.random.normal(rng, (H, P, 13)), (1, 0, 2))
+
+    # XLA reference
+    cost_fn = make_cost_fn(cp, b.time_steps)
+
+    def seq_cost(u_seq):
+        xp, sg = rollout_sde(b.model, b.params, x0, u_seq, b.time_steps, rng,
+                             P, deterministic=deterministic)
+        return cost_fn(xp, sg, u_seq, x_ref, u_prev)
+
+    st_x = apg_solve(seq_cost, u_init, b.lb, b.ub, apg)
+
+    st_p = pallas_apg_solve(
+        b.model, b.params, cp, apg, b.time_steps, x0, x_ref, u_prev,
+        noise, P, b.lb, b.ub, u_init, interpret=True,
+        deterministic=deterministic,
+    )
+    return st_x, st_p
+
+
+def test_mega_solve_parity_traj(iris_traj_bundle):
+    st_x, st_p = _solve_both(iris_traj_bundle, max_iter=10)
+    assert int(st_p.num_steps) == int(st_x.num_steps)
+    np.testing.assert_allclose(np.asarray(st_p.yk), np.asarray(st_x.yk),
+                               rtol=2e-4, atol=2e-5)
+    assert float(st_p.opt_cost) == pytest.approx(float(st_x.opt_cost), rel=2e-4)
+    assert float(st_p.init_cost) == pytest.approx(float(st_x.init_cost), rel=2e-5)
+    assert float(st_p.avg_linesearch) == pytest.approx(
+        float(st_x.avg_linesearch), abs=1e-5)
+    assert float(st_p.stepsize) == pytest.approx(float(st_x.stepsize), rel=1e-4)
+    assert float(st_p.avg_stepsize) == pytest.approx(
+        float(st_x.avg_stepsize), rel=1e-4)
+
+
+def test_mega_solve_parity_posctrl_with_slew(iris_pos_bundle):
+    """posctrl exercises the slew-rate constraint in cost AND gradient."""
+    st_x, st_p = _solve_both(iris_pos_bundle, max_iter=8)
+    assert int(st_p.num_steps) == int(st_x.num_steps)
+    np.testing.assert_allclose(np.asarray(st_p.yk), np.asarray(st_x.yk),
+                               rtol=5e-4, atol=5e-5)
+    assert float(st_p.opt_cost) == pytest.approx(float(st_x.opt_cost), rel=5e-4)
+
+
+def test_mega_solve_state_constraints(iris_pos_bundle):
+    sc = {
+        "state_id": [3, 4, 5],
+        "state_penalty": [10.0, 10.0, 20.0],
+        "slack_scaling": [3.0, 3.0, 3.0],
+        "state_bound": [[-0.1, 0.1], [-0.1, 0.1], [-0.1, 0.1]],
+        "slack_proximal": False,
+        "constr_pen": 0.5,
+    }
+    st_x, st_p = _solve_both(iris_pos_bundle, max_iter=6, x_off=(0.2, 0.5),
+                             sc_cfg=sc)
+    np.testing.assert_allclose(np.asarray(st_p.yk), np.asarray(st_x.yk),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_mega_solve_particles(iris_traj_bundle):
+    """P=4 Monte-Carlo paths through the mega-kernel."""
+    st_x, st_p = _solve_both(iris_traj_bundle, max_iter=5, num_particles=4)
+    np.testing.assert_allclose(np.asarray(st_p.yk), np.asarray(st_x.yk),
+                               rtol=5e-4, atol=5e-5)
+    assert float(st_p.opt_cost) == pytest.approx(float(st_x.opt_cost), rel=5e-4)
