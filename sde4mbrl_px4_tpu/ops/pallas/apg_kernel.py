@@ -29,6 +29,14 @@ the accepted iterate is RECOMPUTED from the accepted scalar stepsize
 Equivalence with the XLA solver is enforced by
 ``tests/test_apg_kernel.py`` in interpreter mode.
 
+MAINTENANCE: the vg forward/backward bodies and the candidate-rollout body
+intentionally mirror ``solve_kernels.py`` (``_vg_kernel``/``_batch_kernel``)
+with a different consts ordering. Any change to the step math, the
+closed-form control gradients, or the consts layout must be applied to BOTH
+files; each file's XLA-parity test will catch a one-sided edit
+(``test_pallas_kernels.py`` / ``test_apg_kernel.py``). Structural dedup
+(shared body builders parameterized by ref wiring) is planned.
+
 Restrictions: P (num_particles) small enough for VMEM (<=128, like the vg
 kernel) and ``use_linesearch`` configs (the reference always uses the
 linesearch block).
@@ -255,7 +263,15 @@ def pallas_apg_solve(
         def cand_values(y3, g3, t0):
             """Write clip(y - t_k g) into cand_ref and return rollout+cost
             (K,1) plus per-candidate lin/quad scalars for the Armijo bound."""
-            ts3 = t0 * jnp.exp(iota_k3 * jnp.log(DF))           # (1,K,1)
+            # Exact DF**k per candidate (mask-built): MUST match the Python
+            # float pow used for the accept bound and the accepted-iterate
+            # recompute below — an exp/log schedule differs by ~1e-7 rel,
+            # enough to flip accept decisions near tolerance thresholds.
+            df_pows = sum(
+                (iota_k3 == float(k)).astype(f32) * float(DF ** k)
+                for k in range(K)
+            )
+            ts3 = t0 * df_pows                                   # (1,K,1)
             U_cand = jnp.clip(y3 - ts3 * g3, LB[None], UB[None])  # (H,K,n)
             cand_ref[:] = U_cand
 
@@ -297,8 +313,11 @@ def pallas_apg_solve(
             slew_c_coeff = SC[0, 4]
             disc3 = DS[:, :, None] if DS.ndim == 2 else DS      # (H,1,1)
             cc = uerr * disc3 * du * du                          # (H,K,n)
-            prev = jnp.concatenate(
-                [jnp.broadcast_to(uprev[None], (1, K, n)), U_cand[:-1]], axis=0)
+            uprev_b = jnp.broadcast_to(uprev[None], (1, K, n))
+            if H > 1:
+                prev = jnp.concatenate([uprev_b, U_cand[:-1]], axis=0)
+            else:
+                prev = uprev_b  # H == 1: zero-size slice is not lowerable
             sl = U_cand - prev
             cc = cc + slew_coeff * sl * sl
             if has_slew:

@@ -35,7 +35,8 @@ class SDEPlant:
     """Ground-truth vehicle: EM-integrates a neural-SDE model at fine dt."""
 
     def __init__(self, model: NeuralSDE, params: Dict[str, Any],
-                 sim_dt: float = 0.005, process_noise: bool = False, seed: int = 0):
+                 sim_dt: float = 0.005, process_noise: bool = False, seed: int = 0,
+                 device: str = "cpu"):
         self.model = model
         self.params = params
         self.sim_dt = float(sim_dt)
@@ -52,6 +53,17 @@ class SDEPlant:
                 z = None
             return em_step(model, params, x, u, jnp.float32(sim_dt), z), rng
 
+        # The plant defaults to the host CPU backend: its tiny sub-steps are
+        # latency-bound, and on a tunneled accelerator every dispatch pays
+        # the tunnel's fixed floor (~9 ms measured) — 4 sub-steps per 20 ms
+        # control period cannot keep real-time pace there. The accelerator
+        # belongs to the solver, the plant to the host.
+        self._device = None
+        if device:
+            try:
+                self._device = jax.devices(device)[0]
+            except RuntimeError:
+                self._device = None
         self._substep = jax.jit(_substep)
 
     def reset(self, x0=None, t0: float = 0.0) -> None:
@@ -60,12 +72,17 @@ class SDEPlant:
 
     def step(self, u: np.ndarray, duration: float) -> np.ndarray:
         """Advance the plant ``duration`` seconds under constant control."""
+        import contextlib
+
         n = max(1, int(round(duration / self.sim_dt)))
-        x = jnp.asarray(self.x)
-        u = jnp.asarray(u, jnp.float32)
-        for _ in range(n):
-            x, self.rng = self._substep(x, u, self.rng)
-        self.x = np.asarray(x)
+        ctx = (jax.default_device(self._device) if self._device is not None
+               else contextlib.nullcontext())
+        with ctx:
+            x = jnp.asarray(self.x)
+            u_j = jnp.asarray(u, jnp.float32)
+            for _ in range(n):
+                x, self.rng = self._substep(x, u_j, self.rng)
+            self.x = np.asarray(x)
         self.t += n * self.sim_dt
         return self.x
 
