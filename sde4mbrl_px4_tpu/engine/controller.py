@@ -282,8 +282,15 @@ class RecedingHorizonController:
         else:
             raise ValueError(f"unknown control state {control_state}")
 
-        u_opt = np.asarray(jax.block_until_ready(sol.u_opt))
-        x_evol = np.asarray(sol.x_evol)
+        # One host transfer for everything the plan needs (each separate
+        # fetch pays a full round trip on tunneled devices).
+        u_opt, x_evol, stats_host = jax.device_get(
+            (sol.u_opt, sol.x_evol,
+             (used.avg_linesearch, used.stepsize, used.num_steps,
+              used.grad_sqr, used.avg_stepsize, used.init_cost, used.opt_cost))
+        )
+        u_opt = np.asarray(u_opt)
+        x_evol = np.asarray(x_evol)
         solve_time = time.perf_counter() - t0
 
         # thrust = motor mean; rates from predicted trajectory (:431-432).
@@ -297,9 +304,16 @@ class RecedingHorizonController:
         self.plan_sample_time_usec = float(sample_time_usec)
         self.plan_is_traj = mode in ("traj", "idle")
 
-        self.last_record = OptMPCStateRecord.from_opt_state(
-            used, solve_time=solve_time, callback_dt=0.0, state_dt=0.0,
-            ctrl_state=control_state, mpc_indx=0,
+        avg_ls, stepsize, num_steps, grad_sqr, avg_stepsize, c0, cT = stats_host
+        self.last_record = OptMPCStateRecord(
+            stamp=time.time(), avg_linesearch=float(avg_ls),
+            avg_stepsize=float(avg_stepsize), stepsize=float(stepsize),
+            grad_norm=float(grad_sqr), cost_init=float(c0), opt_cost=float(cT),
+            num_steps=int(num_steps), solve_time=solve_time,
+            callback_dt=0.0, state_dt=0.0,
+            ctrl_state={v: k for k, v in CONTROL_STATES.items()}.get(
+                int(control_state), "none"),
+            mpc_indx=0,
         )
         return self.last_record
 

@@ -39,7 +39,7 @@ from sde4mbrl_px4_tpu.engine.controller import RecedingHorizonController
 from sde4mbrl_px4_tpu.engine.telemetry import OptMPCStateRecord
 from sde4mbrl_px4_tpu.io.mailbox import Mailbox, native_available
 
-__all__ = ["SDEControlNode"]
+__all__ = ["SDEControlNode", "EngineServiceClient"]
 
 # Mailbox layouts (float64 lanes).
 _IN_LEN = 3 + 13 + 13          # [sample_t_usec, ctrl_state, trajec_time] + x + target
@@ -220,6 +220,65 @@ class SDEControlNode:
             out[_STATS + 1 + max_h * 6 :] = self.ctrl.w_plan.reshape(-1)
             self.mbx.post_outbox(out)
 
+    # ------------------------------------------------------------- services
+
+    def serve_services(self, addr: str = "127.0.0.1:14997") -> None:
+        """Wire-level controller services: JSON over UDP.
+
+        The reference exposes ``set_trajectory_and_params`` and
+        ``start_trajectory`` as ROS services (``sde_control.py:86-89``);
+        this is the ROS-free equivalent so operators / other processes can
+        drive the controller lifecycle remotely:
+
+            {"cmd": "init"}                             -> {"ok": ..}
+            {"cmd": "set_mode", "mode": 2,
+             "target": [13 floats]?, "weight_motors": 110} -> {"ok", "msg"}
+            {"cmd": "status"}                           -> telemetry record
+        """
+        import json
+        import socket
+
+        host, port = addr.rsplit(":", 1)
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        sock.bind((host, int(port)))
+        sock.settimeout(0.2)
+        self._svc_sock = sock
+
+        def loop():
+            while self._running:
+                try:
+                    data, peer = sock.recvfrom(8192)
+                except (OSError, TimeoutError):
+                    continue
+                try:
+                    req = json.loads(data.decode())
+                    cmd = req.get("cmd")
+                    if cmd == "init":
+                        ok = self.initialize_mpc()
+                        resp = {"ok": ok}
+                    elif cmd == "set_mode":
+                        tgt = req.get("target")
+                        ok, msg = self.set_mode(
+                            int(req.get("mode", 0)),
+                            target_pose=None if tgt is None else np.asarray(tgt, np.float32),
+                            weight_motors=int(req.get("weight_motors", 110)),
+                        )
+                        resp = {"ok": ok, "msg": msg}
+                    elif cmd == "status":
+                        resp = {"ok": True, "record": self.last_record.to_dict()}
+                    else:
+                        resp = {"ok": False, "msg": f"unknown cmd {cmd!r}"}
+                except Exception as e:  # noqa: BLE001 — keep the service alive
+                    resp = {"ok": False, "msg": repr(e)}
+                try:
+                    sock.sendto(json.dumps(resp).encode(), peer)
+                except OSError:
+                    pass
+
+        self._svc_thread = threading.Thread(target=loop, daemon=True)
+        self._svc_thread.start()
+
     # ------------------------------------------------------------- transport
 
     def serve_mavlink(self, addr: str = "127.0.0.1:14998") -> None:
@@ -252,3 +311,41 @@ class SDEControlNode:
 
         self._mav_thread = threading.Thread(target=loop, daemon=True)
         self._mav_thread.start()
+
+
+class EngineServiceClient:
+    """Client for the engine's JSON-over-UDP service channel (the ROS-free
+    ``set_trajectory_and_params`` / ``start_trajectory`` client side,
+    reference ``basic_control.py:110-121``)."""
+
+    def __init__(self, addr: str = "127.0.0.1:14997", timeout: float = 2.0):
+        import socket
+
+        host, port = addr.rsplit(":", 1)
+        self._peer = (host, int(port))
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.settimeout(timeout)
+
+    def _call(self, req: dict) -> dict:
+        import json
+
+        self.sock.sendto(json.dumps(req).encode(), self._peer)
+        data, _ = self.sock.recvfrom(65535)
+        return json.loads(data.decode())
+
+    def initialize_mpc(self) -> bool:
+        return bool(self._call({"cmd": "init"}).get("ok"))
+
+    def set_mode(self, mode: int, target_pose=None, weight_motors: int = 110):
+        req = {"cmd": "set_mode", "mode": int(mode),
+               "weight_motors": int(weight_motors)}
+        if target_pose is not None:
+            req["target"] = [float(v) for v in np.asarray(target_pose).ravel()]
+        r = self._call(req)
+        return bool(r.get("ok")), r.get("msg", "")
+
+    def status(self) -> dict:
+        return self._call({"cmd": "status"}).get("record", {})
+
+    def close(self):
+        self.sock.close()

@@ -49,7 +49,11 @@ def launch_sde_control(cfg: Dict[str, Any], repl: bool = False):
     node.start()
     addr = cfg.get("addr_mavlink_state_msg", "127.0.0.1:14998")
     node.serve_mavlink(addr)
-    print(f"[launch] engine serving MPC_FULL_STATE on udp:{addr}", flush=True)
+    svc_addr = cfg.get("addr_services", "127.0.0.1:14997")
+    node.serve_services(svc_addr)
+    print(f"[launch] engine serving MPC_FULL_STATE on udp:{addr}, "
+          f"services on udp:{svc_addr}", flush=True)
+    print("[launch] READY", flush=True)
 
     report_dt = float(cfg.get("mpc_report_dt", 0.2))
     log_file = cfg.get("log_file")
