@@ -115,3 +115,29 @@ def test_plan_index_advances_with_time(node):
     node.handle_state(x, 21.0e6 + 2 * node.ctrl.traj.dt_usec)
     i2 = node.last_record.mpc_indx
     assert i2 >= i0
+
+
+def test_service_channel_over_udp(node):
+    """JSON/UDP services end-to-end: client <-> node.serve_services."""
+    from sde4mbrl_px4_tpu.io.engine_runtime import EngineServiceClient
+
+    node.serve_services("127.0.0.1:0")
+    port = node._svc_sock.getsockname()[1]
+    cli = EngineServiceClient(f"127.0.0.1:{port}", timeout=3.0)
+    try:
+        node.set_mode(CTRL_INACTIVE)
+        assert cli.initialize_mpc()
+        tgt = np.asarray(hover_state()).copy()
+        tgt[2] = 2.0
+        ok, msg = cli.set_mode(CTRL_POSE_ACTIVE, target_pose=tgt)
+        assert ok, msg
+        assert node.ctrl.automata.pos_control
+        np.testing.assert_allclose(node.ctrl.automata.target_x[2], 2.0)
+        st = cli.status()
+        assert "num_steps" in st and "ctrl_state" in st
+        # unknown command -> clean error, service stays alive
+        bad = cli._call({"cmd": "nope"})
+        assert not bad["ok"]
+        assert cli.initialize_mpc() in (True, False)  # still responsive
+    finally:
+        cli.close()
