@@ -98,9 +98,11 @@ def test_cpp_jax_parity(native_ctrl, mode):
         tp, tv, ta = rs.randn(3), 0.5 * rs.randn(3), 0.3 * rs.randn(3)
         yaw = rs.uniform(-3, 3)
         cmd_c, qd_c = native_ctrl.update(x, tp, tv, ta, yaw)
+        # C++ computes in double; the JAX twin runs f32 (x64 not enabled in
+        # the suite) — tolerances below absorb the precision gap.
         cmd_j, qd_j = geometric_control(
-            p, jnp.asarray(x, jnp.float64), jnp.asarray(tp), jnp.asarray(tv),
-            jnp.asarray(ta), jnp.float64(yaw),
+            p, jnp.asarray(x, jnp.float32), jnp.asarray(tp), jnp.asarray(tv),
+            jnp.asarray(ta), jnp.float32(yaw),
         )
         np.testing.assert_allclose(cmd_c, np.asarray(cmd_j), rtol=1e-4, atol=1e-5)
         # q and -q equal; compare via abs of dot
