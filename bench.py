@@ -76,9 +76,15 @@ def main():
     # device tunnel (p99 outliers otherwise skew the mean by ~20%).
     solves_per_sec = 1.0 / np.percentile(lat, 50)
     _log(
-        f"seq solve latency: mean={lat.mean()*1e3:.2f}ms p50={np.percentile(lat,50)*1e3:.2f}ms "
+        f"seq solve latency (blocking): mean={lat.mean()*1e3:.2f}ms p50={np.percentile(lat,50)*1e3:.2f}ms "
         f"p99={np.percentile(lat,99)*1e3:.2f}ms  steps/solve={float(sol.opt_state.num_steps):.0f}"
     )
+
+    # Pipelined per-call path (the engine's production dispatch mode,
+    # engine/controller.py): dispatch solve k asynchronously, collect the
+    # already-finished solve k-1 — per-call wall time is dispatch+transfer,
+    # plan staleness <= 1 control period (absorbed by time-indexed pickup).
+    pipe_stats = _bench_pipelined(jm, reset_fn, state_from_traj, dt, _log)
 
     # -- on-device chip rate (the BASELINE.json metric: solves/s/chip). The
     # per-call rate above includes the dev harness's ~9 ms tunnel dispatch
@@ -101,12 +107,92 @@ def main():
         _log(f"batched bench skipped: {e!r}")
 
     headline = chip_rate if chip_rate is not None else solves_per_sec
-    print(json.dumps({
+    out = {
         "metric": "mpc_solves_per_sec_per_chip_iris_traj",
         "value": round(float(headline), 3),
         "unit": "solves/s",
         "vs_baseline": round(float(headline) / 20.0, 3),
-    }))
+    }
+    # Latency-vs-budget accounting (BASELINE.md: 50 ms control period /
+    # 20 ms staleness watchdog) + achieved-FLOP roofline context.
+    if pipe_stats is not None:
+        out["percall_p50_ms"] = round(pipe_stats["p50"] * 1e3, 2)
+        out["percall_p99_ms"] = round(pipe_stats["p99"] * 1e3, 2)
+        out["control_budget_ms"] = 50.0
+        out["p99_vs_budget"] = round(pipe_stats["p99"] * 1e3 / 50.0, 3)
+    if chip_rate is not None:
+        gf = _achieved_gflops(cfg, float(sol.opt_state.num_steps), chip_rate)
+        out["achieved_gflops"] = round(gf, 1)
+        _log(f"achieved compute: {gf:.1f} GFLOP/s on-device "
+             "(workload is op-issue-latency bound: the model is 3 tiny "
+             "matmuls/step — MXU utilization is bounded by the 16..64-wide "
+             "feature dims, not by the kernel schedule; see "
+             "ops/pallas/solve_kernels.py)")
+    print(json.dumps(out))
+
+
+def _bench_pipelined(jm, reset_fn, state_from_traj, dt, _log,
+                     n_warm=10, n_meas=60):
+    """Per-call latency of the pipelined dispatch pattern (dispatch k,
+    collect k-1). State feedback is host-side like the real engine (the
+    plant state arrives over MAVLink); opt_state/rng stay device-resident."""
+    import jax
+    import jax.numpy as jnp
+    from sde4mbrl_px4_tpu.core.frames import enu2ned
+
+    try:
+        x_host = np.asarray(enu2ned(state_from_traj(0.0)))
+        rng = jax.random.PRNGKey(1)
+        st = reset_fn(jnp.asarray(x_host), rng, jnp.asarray(x_host))
+        prev = None
+        t = 0.0
+        lat = []
+        for k in range(n_warm + n_meas):
+            t1 = time.perf_counter()
+            # Fetch the PREVIOUS solve first (it ran during the last control
+            # period), then dispatch the next — the dev tunnel serializes
+            # RPCs, so fetching after dispatch would queue behind the fresh
+            # solve.
+            if prev is not None:
+                _, x_evol = jax.device_get((prev.u_opt, prev.x_evol))
+                x_host = np.asarray(x_evol[1])
+            cur = jm(jnp.asarray(x_host), rng, st, jnp.float32(t), jnp.asarray(x_host))
+            rng, st = cur.rng, cur.opt_state        # device handles, no transfer
+            prev = cur
+            busy = time.perf_counter() - t1
+            if k >= n_warm:
+                lat.append(busy)
+            t += dt
+            # Pace at the 20 Hz control period like the real engine loop;
+            # the measured quantity is the per-tick BUSY time (fetch +
+            # dispatch), i.e. what the host must fit into each period.
+            time.sleep(max(0.0, dt - busy))
+        lat = np.asarray(lat)
+        stats = {"p50": float(np.percentile(lat, 50)),
+                 "p99": float(np.percentile(lat, 99)),
+                 "mean": float(lat.mean())}
+        _log(f"per-call pipelined busy time @20Hz: mean={stats['mean']*1e3:.2f}ms "
+             f"p50={stats['p50']*1e3:.2f}ms p99={stats['p99']*1e3:.2f}ms "
+             f"(vs 50 ms control budget)")
+        return stats
+    except Exception as e:  # noqa: BLE001 — secondary metric must not kill bench
+        _log(f"pipelined bench skipped: {e!r}")
+        return None
+
+
+def _achieved_gflops(cfg, steps_per_solve, solves_per_sec):
+    """FLOPs actually retired per second on the chained on-device path.
+
+    Per APG iteration: grad sweep (forward + ~2x backward) + maxls
+    candidate rollouts, each H steps x (16x64 + 64x64 + 64x12) MAC
+    matmuls (models/sde_model.py trunk) per particle.
+    """
+    H = int(cfg["horizon"])
+    P = max(int(cfg.get("num_particles", 1)), 1)
+    maxls = int(cfg["apg_mpc"]["linesearch"]["maxls"])
+    macs_step = 16 * 64 + 64 * 64 + 64 * 12
+    per_iter = (3.0 + maxls) * H * P * macs_step * 2  # fwd + 2x bwd + K cand
+    return per_iter * steps_per_solve * solves_per_sec / 1e9
 
 
 def _bench_chained(here, _log, cfg, mpc_fn, reset_fn, state_from_traj, K=10):
@@ -161,22 +247,27 @@ def _bench_particles(here, _log, P=1024):
 
     cfg = load_yaml_config(os.path.join(here, "configs", "iris_posctrl_mpc.yaml"))
     cfg["num_particles"] = P
-    cfg["apg_mpc"]["max_iter"] = 50
+    # Full reference iteration budget (max_iter 200 with atol/rtol early
+    # exit, iris_sitl_traj_mpc.yaml:60); steps actually executed are
+    # reported — warm-started receding-horizon solves converge early, which
+    # IS the flight workload.
     _, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(dict(cfg))
     x0 = hover_state()
+    xdes = hover_state().at[0].set(1.0)    # setpoint step keeps the solver busy
     rng = jax.random.PRNGKey(0)
     st = reset_fn(x0, rng, x0)
     jm = jax.jit(mpc_fn)
-    sol = jm(x0, rng, st, jnp.float32(0.0), x0)
+    sol = jm(x0, rng, st, jnp.float32(0.0), xdes)
     jax.block_until_ready(sol.u_opt)
     t0 = time.perf_counter()
     n = 5
     for _ in range(n):
-        sol = jm(x0, sol.rng, sol.opt_state, jnp.float32(0.0), x0)
+        sol = jm(x0, sol.rng, sol.opt_state, jnp.float32(0.0), xdes)
     jax.block_until_ready(sol.u_opt)
     dt_s = (time.perf_counter() - t0) / n
-    _log(f"{P}-particle uncertainty solve (50 iters): {dt_s*1e3:.1f} ms "
-         f"({P/dt_s:.0f} sampled paths*solves/s)")
+    _log(f"{P}-particle uncertainty solve (200-iter budget, "
+         f"{float(sol.opt_state.num_steps):.0f} steps executed, bf16 matmuls): "
+         f"{dt_s*1e3:.1f} ms ({P/dt_s:.0f} sampled paths*solves/s)")
 
 
 def _bench_batched_throughput(here, _log, B=256):

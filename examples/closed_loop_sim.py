@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--time-scale", type=float, default=1.0)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--log", default=None, help="write an .npz flight log")
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="blocking solver dispatch (pipeline off)")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +65,7 @@ def main():
         os.path.join(here, "configs/iris_posctrl_mpc.yaml"),
         seed=0,
         now_fn=clock,
+        pipeline=not args.no_pipeline,
     )
     node.start()
     node.serve_mavlink(f"127.0.0.1:{args.port}")

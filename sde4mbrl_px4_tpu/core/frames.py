@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sde4mbrl_px4_tpu.core.quaternion import qmul, qnormalize
 
@@ -29,10 +30,13 @@ __all__ = ["enu2ned", "ned2enu", "enu2ned_pos", "ned2enu_pos", "Q_NED_ENU", "Q_F
 
 # World ENU->NED: swap x/y and flip z. As a rotation quaternion (w,x,y,z):
 # R = [[0,1,0],[1,0,0],[0,0,-1]] = 180° rotation about the (1,1,0)/√2 axis.
+# (numpy constants, converted at use sites: importing the library must not
+# initialize a JAX backend — jax.distributed.initialize() comes first in
+# multi-host programs, parallel/distributed.py.)
 _SQ2 = 0.7071067811865476
-Q_NED_ENU = jnp.array([0.0, _SQ2, _SQ2, 0.0])  # also its own inverse (w=0)
+Q_NED_ENU = np.array([0.0, _SQ2, _SQ2, 0.0])  # also its own inverse (w=0)
 # Body FLU->FRD: 180° about body-x.
-Q_FLU_FRD = jnp.array([0.0, 1.0, 0.0, 0.0])
+Q_FLU_FRD = np.array([0.0, 1.0, 0.0, 0.0])
 
 
 def _swap_flip(v: jax.Array) -> jax.Array:
@@ -55,7 +59,7 @@ def _convert_state(x: jax.Array) -> jax.Array:
     q = x[..., 6:10]
     # q' = Q_NED_ENU ⊗ q ⊗ Q_FLU_FRD ; both fixed quaternions are unit with
     # w=0, so the composite transform is also involutive.
-    q_new = qnormalize(qmul(qmul(Q_NED_ENU.astype(x.dtype), q), Q_FLU_FRD.astype(x.dtype)))
+    q_new = qnormalize(qmul(qmul(jnp.asarray(Q_NED_ENU, x.dtype), q), jnp.asarray(Q_FLU_FRD, x.dtype)))
     w = x[..., 10:13]
     w_new = jnp.stack([w[..., 0], -w[..., 1], -w[..., 2]], axis=-1)
     return jnp.concatenate([pos, vel, q_new, w_new], axis=-1)

@@ -54,7 +54,26 @@ class CostParams(NamedTuple):
     state_lo13: Optional[jax.Array] = None    # (13,) lower bounds (-1e9 pad)
     state_hi13: Optional[jax.Array] = None    # (13,) upper bounds (+1e9 pad)
     state_inv_scale13: Optional[jax.Array] = None  # (13,) 1/slack_scaling
-    constr_pen: jax.Array = jnp.float32(0.0)  # global multiplier
+    constr_pen: float = 0.0  # global multiplier (coerced at use sites; a
+    # jnp default here would initialize the backend at import time)
+    # Proximal-slack form (``slack_proximal: True``): the decision sequence
+    # is augmented by one slack-target column per constrained state
+    # ("augment the number of variables of the problem by the number of
+    # slack constraints", reference schema comment,
+    # ``hexa_posctrl_mpc.yaml:36-39``). The slack targets s are
+    # box-projected to the state bounds by the solver's proximal step —
+    # they are always admissible — and the smooth cost couples the state to
+    # them with ``pen_i * ((x_i - s_i) * inv_scale_i)^2``. Minimizing over
+    # s in [lo, hi] analytically gives pen_i * dist(x_i, [lo_i, hi_i])^2:
+    # the penalty form WITHOUT its ``constr_pen`` relaxation factor, so the
+    # proximal form enforces the bounds at full ``state_penalty`` weight
+    # (constr_pen < 1 in the reference configs relaxes only the penalty
+    # path). Validated by ``tests/test_prox_slack.py``.
+    slack_pen: Optional[jax.Array] = None        # (m,) state_penalty
+    slack_inv_scale: Optional[jax.Array] = None  # (m,) 1/slack_scaling
+    slack_sel: Optional[jax.Array] = None        # (m, 13) one-hot selector
+    slack_lo: Optional[jax.Array] = None         # (m,) projection bounds
+    slack_hi: Optional[jax.Array] = None         # (m,)
 
     @staticmethod
     def from_config(cfg: Dict[str, Any], n_u: int) -> "CostParams":
@@ -68,28 +87,33 @@ class CostParams(NamedTuple):
 
         sc = cfg.get("state_constr")
         pen13 = lo13 = hi13 = inv13 = None
+        spen = sinv = ssel = slo = shi = None
         constr_pen = 0.0
         if sc is not None:
-            if sc.get("slack_proximal"):
-                raise NotImplementedError(
-                    "state_constr.slack_proximal=True (proximal slack "
-                    "variables) is not implemented; use the penalty form "
-                    "(slack_proximal: False)"
-                )
             ids = list(sc["state_id"])
-            pen = np.zeros(13, np.float32)
-            lo = np.full(13, -1e9, np.float32)
-            hi = np.full(13, 1e9, np.float32)
-            inv = np.ones(13, np.float32)
-            pen[ids] = np.asarray(sc["state_penalty"], np.float32)
+            m = len(ids)
+            pen_m = np.asarray(sc["state_penalty"], np.float32)
             b = np.asarray(sc["state_bound"], np.float32)
-            lo[ids] = b[:, 0]
-            hi[ids] = b[:, 1]
-            inv[ids] = 1.0 / np.asarray(sc.get("slack_scaling", np.ones(len(ids))),
-                                        np.float32)
-            pen13, lo13, hi13 = jnp.asarray(pen), jnp.asarray(lo), jnp.asarray(hi)
-            inv13 = jnp.asarray(inv)
-            constr_pen = float(sc.get("constr_pen", 1.0))
+            inv_m = 1.0 / np.asarray(sc.get("slack_scaling", np.ones(m)),
+                                     np.float32)
+            if sc.get("slack_proximal"):
+                sel = np.zeros((m, 13), np.float32)
+                sel[np.arange(m), ids] = 1.0
+                spen, sinv = jnp.asarray(pen_m), jnp.asarray(inv_m)
+                ssel = jnp.asarray(sel)
+                slo, shi = jnp.asarray(b[:, 0]), jnp.asarray(b[:, 1])
+            else:
+                pen = np.zeros(13, np.float32)
+                lo = np.full(13, -1e9, np.float32)
+                hi = np.full(13, 1e9, np.float32)
+                inv = np.ones(13, np.float32)
+                pen[ids] = pen_m
+                lo[ids] = b[:, 0]
+                hi[ids] = b[:, 1]
+                inv[ids] = inv_m
+                pen13, lo13, hi13 = jnp.asarray(pen), jnp.asarray(lo), jnp.asarray(hi)
+                inv13 = jnp.asarray(inv)
+                constr_pen = float(sc.get("constr_pen", 1.0))
 
         return CostParams(
             uref=vec(cp["uref"], n_u),
@@ -108,6 +132,11 @@ class CostParams(NamedTuple):
             state_hi13=hi13,
             state_inv_scale13=inv13,
             constr_pen=jnp.float32(constr_pen),
+            slack_pen=spen,
+            slack_inv_scale=sinv,
+            slack_sel=ssel,
+            slack_lo=slo,
+            slack_hi=shi,
         )
 
 
@@ -136,16 +165,25 @@ def make_cost_fn(cp: CostParams, time_steps: jax.Array):
     - ``x_ref``: (H+1, 13) per-stage reference (constant target broadcast by
       the caller in position-hold mode);
     - ``u_prev``: (n_u,) last applied control for the first slew difference
-      (defaults to ``uref`` when None).
+      (defaults to ``uref`` when None);
+    - ``s_seq``: (H, m) proximal slack targets when the config uses
+      ``slack_proximal: True`` (see :class:`CostParams`); the caller owns
+      splitting the augmented decision sequence.
     """
     H = int(time_steps.shape[0])
     disc = cp.discount ** jnp.arange(1, H + 1, dtype=jnp.float32)
 
-    def cost_fn(x_paths, sigma_paths, u_seq, x_ref, u_prev=None):
+    def cost_fn(x_paths, sigma_paths, u_seq, x_ref, u_prev=None, s_seq=None):
         if x_paths.ndim == 2:
             x_paths = x_paths[None]
         # Tracking: stages 1..H of each particle path, discounted, mean over particles.
         track = _stage_tracking(cp, x_paths[:, 1:, :], x_ref[None, 1:, :])  # (P, H)
+        if cp.slack_sel is not None and s_seq is not None:
+            # Proximal-slack coupling: state components vs their (projected,
+            # admissible) slack targets, discounted like tracking.
+            x_sel = jnp.einsum("phj,mj->phm", x_paths[:, 1:, :], cp.slack_sel)
+            dsl = (x_sel - s_seq[None]) * cp.slack_inv_scale
+            track = track + jnp.sum(cp.slack_pen * dsl * dsl, -1)
         if cp.state_pen13 is not None:
             # Soft state-box violations, scaled (slack_scaling) and
             # penalized quadratically; discounted like the tracking stages.

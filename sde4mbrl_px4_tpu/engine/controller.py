@@ -21,6 +21,7 @@ executables; the hot solve path never leaves the device.
 """
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -42,6 +43,8 @@ from sde4mbrl_px4_tpu.engine.mpc_loader import load_mpc_from_cfgfile
 from sde4mbrl_px4_tpu.engine.telemetry import OptMPCStateRecord
 
 __all__ = ["ControlAutomata", "RecedingHorizonController", "CompiledMPC"]
+
+_LOG = logging.getLogger("sde4mbrl_px4_tpu.engine")
 
 
 @dataclass
@@ -199,7 +202,8 @@ class RecedingHorizonController:
     """
 
     def __init__(self, traj_cfg_path: str, pos_cfg_path: str, seed: int = 0,
-                 now_fn: Callable[[], float] = time.time):
+                 now_fn: Callable[[], float] = time.time,
+                 pipeline: bool = False):
         self.traj = CompiledMPC(traj_cfg_path, seed=seed)
         self.pos = CompiledMPC(pos_cfg_path, seed=seed)
         assert self.traj.state_from_traj is not None, (
@@ -227,15 +231,52 @@ class RecedingHorizonController:
         self.plan_sample_time_usec = -1.0
         self.plan_is_traj = False
         self.last_record = OptMPCStateRecord()
+        self.overrun_count = 0
+        self._last_overrun_log = 0.0
 
         self._curr_ctrl: Optional[str] = None
         self._idle_traj = False
+
+        # Pipelined dispatch (device-resident loop): solve k is dispatched
+        # asynchronously and solve k-1 — finished on device during the last
+        # control period — is collected, so the per-call wall time is
+        # dispatch + transfer instead of a blocking round trip through the
+        # solve (~9 ms tunnel floor vs 40-60 ms blocking; the time-indexed
+        # pickup absorbs the one-period plan staleness by construction).
+        self.pipeline = pipeline
+        self._pending: Optional[tuple] = None
 
     # ------------------------------------------------------------------ solve
 
     def solve_once(self, x: np.ndarray, control_state: int, trajec_time: float,
                    target_x: np.ndarray, sample_time_usec: float) -> OptMPCStateRecord:
-        """One solver iteration (reference loop body ``sde_control.py:365-450``)."""
+        """One solver iteration (reference loop body ``sde_control.py:365-450``).
+
+        In pipeline mode this dispatches the solve for the CURRENT state and
+        publishes the plan of the PREVIOUS solve (collected without waiting
+        on today's); the published plan carries its own ``sample_time_usec``
+        so pickup indexing stays exact. (The async engine uses the finer
+        :meth:`solve_async` + :meth:`collect_entry` split instead: a
+        collector thread publishes each plan the moment its solve finishes.)
+        """
+        entry = self.solve_async(x, control_state, trajec_time, target_x,
+                                 sample_time_usec)
+        if self.pipeline:
+            prev, self._pending = self._pending, entry
+            # Cold start (no dispatch in flight): publish the solve just
+            # issued — it stays pending too, so the next call already
+            # pipelines (re-publishing the latest plan is a no-op under
+            # latest-wins pickup).
+            entry = prev if prev is not None else entry
+        return self._collect(*entry)
+
+    def solve_async(self, x: np.ndarray, control_state: int,
+                    trajec_time: float, target_x: np.ndarray,
+                    sample_time_usec: float) -> tuple:
+        """Dispatch one solve (asynchronous — returns device handles in an
+        opaque entry for :meth:`collect_entry`); never blocks on the device.
+        Warm-start/rng state advances here, so chained dispatches form the
+        same solve sequence as blocking calls."""
         x = jnp.asarray(x, jnp.float32)
         names = {v: k for k, v in CONTROL_STATES.items()}
         mode = names.get(int(control_state), "none")
@@ -282,6 +323,15 @@ class RecedingHorizonController:
         else:
             raise ValueError(f"unknown control state {control_state}")
 
+        return (sol, used, mode, int(control_state), float(sample_time_usec), t0)
+
+    def collect_entry(self, entry: tuple) -> OptMPCStateRecord:
+        """Block on a dispatched entry and publish its plan + stats."""
+        return self._collect(*entry)
+
+    def _collect(self, sol, used, mode: str, control_state: int,
+                 sample_time_usec: float, t0: float) -> OptMPCStateRecord:
+        """Block on one dispatched solve, publish its plan + stats."""
         # One host transfer for everything the plan needs (each separate
         # fetch pays a full round trip on tunneled devices).
         u_opt, x_evol, stats_host = jax.device_get(
@@ -323,12 +373,26 @@ class RecedingHorizonController:
         """Time-indexed plan pickup (reference ``sde_control.py:283-308``).
 
         Returns (motor_cmd[6], thrust_and_rates[4], index) or None when no
-        plan has completed yet.
+        plan has completed yet. A pickup past the planning horizon means
+        the solver missed real time — it is clamped AND counted + logged
+        (reference clamps and ``logerr``s, ``sde_control.py:294-298``).
         """
         if self.plan_sample_time_usec <= 0:
             return None
         active = self.traj if self.plan_is_traj else self.pos
         idx = int((sample_time_usec - self.plan_sample_time_usec) / active.dt_usec)
+        if idx > active.horizon - 1:
+            self.overrun_count += 1
+            now = time.time()
+            if now - self._last_overrun_log > 1.0:  # rate-limited
+                self._last_overrun_log = now
+                _LOG.error(
+                    "plan horizon overrun: pickup index %d > %d (plan age "
+                    "%.0f ms; solver missed real time; %d total)",
+                    idx, active.horizon - 1,
+                    (sample_time_usec - self.plan_sample_time_usec) / 1e3,
+                    self.overrun_count,
+                )
         idx = max(0, min(idx, active.horizon - 1))
         u = self.u_plan[idx, : active.n_u]
         if u.shape[0] < 6:

@@ -139,6 +139,19 @@ def make_mpc_from_config(
     apg_cfg = APGConfig.from_config(cfg)
     num_particles = int(cfg.get("num_particles", 1))
 
+    # Proximal-slack state constraints (``slack_proximal: True``) augment
+    # the decision sequence with one slack-target column per constrained
+    # state; the solver's box projection (its proximal step) keeps the
+    # targets inside the state bounds (``cost/cost.py`` documents the
+    # formulation; reference schema ``hexa_posctrl_mpc.yaml:27-40``).
+    prox_m = (0 if cost_params.slack_sel is None
+              else int(cost_params.slack_sel.shape[0]))
+    if prox_m:
+        lb_z = jnp.concatenate([lb, cost_params.slack_lo])
+        ub_z = jnp.concatenate([ub, cost_params.slack_hi])
+    else:
+        lb_z, ub_z = lb, ub
+
     # Trajectory tables keep the CSV's own frame (ENU,
     # ``geometric_controller.cpp:463``): with convert_to_enu=True the public
     # API boundary is "xdes / state_from_traj in ENU, FCU state in NED" —
@@ -171,11 +184,26 @@ def make_mpc_from_config(
     pallas_interpret = use_pallas == "interpret"
     if use_pallas and particle_sharding is not None:
         use_pallas = False  # kernel is single-chip per solve; DP shards scenarios
-    if use_pallas and not pallas_interpret and num_particles > 128:
-        # Large Monte-Carlo batches exceed the vg kernel's VMEM budget
-        # (measured: P=1024 wants ~40 MB scoped vmem vs the 16 MB limit) and
-        # the XLA path amortizes its op overhead over the big particle
-        # tensors anyway. TODO(kernel): chunk the particle axis in-kernel.
+    # Matmul precision: HIGHEST (f32) for the reference-parity configs;
+    # large Monte-Carlo batches default to the MXU's bf16-input path (the
+    # sampling noise dominates bf16 rounding; ~4x matmul throughput).
+    # Override with the ``matmul_precision`` config key.
+    from sde4mbrl_px4_tpu.models.sde_model import resolve_precision
+
+    mm_precision = resolve_precision(
+        cfg.get("matmul_precision",
+                "default" if num_particles > 128 else "highest")
+    )
+    # Particle-axis routing (measured on v5e, tools/tpu_chunk_sweep.py):
+    # the fused Mosaic kernels win for small P (op-issue-latency bound:
+    # 11 ms vs ~350 ms per solve at P=1); beyond P~128 the XLA path wins —
+    # its (P, feat) matmuls amortize op overhead and pipeline better than
+    # the kernels' serialized chunk loops (P=1024: XLA ~0.5 ms/iter vs
+    # chunked kernel ~4.4 ms/iter), and unchunked kernels exceed the 16 MB
+    # scoped-VMEM limit (~40 MB wanted). In-kernel chunking (bodies.py,
+    # ``chunk``) remains available for mid-size P.
+    pallas_chunk = 0
+    if use_pallas and num_particles > 128:
         use_pallas = False
     # Whole-solve mega-kernel (opt-out via SDE4MBRL_MEGA=0).
     use_mega = bool(use_pallas) and os.environ.get("SDE4MBRL_MEGA", "1") not in (
@@ -184,17 +212,48 @@ def make_mpc_from_config(
 
     cost_fn = make_cost_fn(cost_params, time_steps)
     u_hover = jnp.broadcast_to(cost_params.uref, (H, n_u))
+    if prox_m:
+        # Admissible slack targets at rest: 0 clipped into the state box.
+        s_hover = jnp.broadcast_to(
+            jnp.clip(jnp.zeros((prox_m,)), cost_params.slack_lo,
+                     cost_params.slack_hi), (H, prox_m)
+        )
+        z_hover = jnp.concatenate([u_hover, s_hover], axis=1)
+    else:
+        z_hover = u_hover
 
     def reset_fn(x: jax.Array, rng: jax.Array, xdes: jax.Array) -> APGState:
-        """Warm-start initializer (contract: ``sde_control.py:702,706-707``).
+        """State-aware warm-start initializer (contract:
+        ``sde_control.py:702,706-707``; the reference leaves reset
+        internals to the external library, SURVEY.md §2.9).
 
-        ``x``/``xdes`` only size-check here: the hover-reference control
-        sequence is the canonical restart point; stats fields start at 0.
+        Rather than restarting at the bare hover sequence, the initial
+        controls compensate the CURRENT state so the engagement transient
+        shrinks (measured in ``tests/test_engine.py``):
+
+        - attitude: at tilt, collective thrust scales by ``1/cos(tilt)``
+          to keep the vertical force balance;
+        - vertical rate: a proportional term on NED vz (down-positive)
+          opposes descent/climb at hand-off.
+
+        ``xdes`` is unused (a position error needs no thrust bias at reset;
+        the solver closes it). Stats fields start at 0.
         """
-        del x, rng, xdes
+        del rng, xdes
+        x = jnp.asarray(x, jnp.float32)
+        qx, qy = x[7], x[8]
+        cos_tilt = 1.0 - 2.0 * (qx * qx + qy * qy)   # R[2,2] of q
+        scale = 1.0 / jnp.maximum(cos_tilt, 0.5)
+        scale = scale + 0.3 * x[5]                   # vz damping (NED)
+        u0 = jnp.clip(cost_params.uref * jnp.clip(scale, 0.7, 1.5), lb, ub)
+        yk0 = jnp.broadcast_to(u0, (H, n_u))
+        if prox_m:
+            yk0 = jnp.concatenate(
+                [yk0, jnp.broadcast_to(z_hover[0, n_u:], (H, prox_m))], axis=1
+            )
         z = jnp.float32(0.0)
         return APGState(
-            yk=u_hover, num_steps=z, stepsize=jnp.float32(apg_cfg.init_stepsize),
+            yk=yk0, num_steps=z, stepsize=jnp.float32(apg_cfg.init_stepsize),
             avg_stepsize=z, avg_linesearch=z, grad_sqr=z, init_cost=z, opt_cost=z,
         )
 
@@ -241,16 +300,18 @@ def make_mpc_from_config(
 
                 st = pallas_apg_solve(
                     model, params, cost_params, apg_cfg, time_steps, x, x_ref,
-                    u_prev, noise_p, P, lb, ub, opt_state.yk,
-                    interpret=pallas_interpret,
+                    u_prev, noise_p, P, lb_z, ub_z, opt_state.yk,
+                    interpret=pallas_interpret, chunk=pallas_chunk,
                 )
                 oracle = pallas_cost_oracle(
                     model, params, cost_params, time_steps, x, x_ref, u_prev,
                     noise_p, P, apg_cfg.maxls, interpret=pallas_interpret,
+                    chunk=pallas_chunk,
                 )
-                u_opt = st.yk
-                x_evol = oracle.trajectory(u_opt)
-                yk_next = jnp.concatenate([u_opt[1:], u_opt[-1:]], axis=0)
+                z_opt = st.yk                       # (H, nZ)
+                u_opt = z_opt[:, :n_u] if prox_m else z_opt
+                x_evol = oracle.trajectory(z_opt)
+                yk_next = jnp.concatenate([z_opt[1:], z_opt[-1:]], axis=0)
                 return MPCSolution(
                     u_opt=u_opt, opt_state=st._replace(yk=yk_next),
                     rng=rng_next, x_evol=x_evol,
@@ -258,38 +319,46 @@ def make_mpc_from_config(
             seq_cost = pallas_cost_oracle(
                 model, params, cost_params, time_steps, x, x_ref, u_prev,
                 noise_p, P, apg_cfg.maxls, interpret=pallas_interpret,
+                chunk=pallas_chunk,
             )
         elif num_particles <= 1:
             # Mean-dynamics flight configuration (``num_particles: 1``,
             # ``iris_sitl_traj_mpc.yaml:52``): deterministic rollout; the
             # uncertainty penalty still reads sigma along the mean path.
-            def seq_cost(u_seq):
+            def seq_cost(z_seq):
+                u_seq = z_seq[:, :n_u] if prox_m else z_seq
+                s_seq = z_seq[:, n_u:] if prox_m else None
                 x_paths, sigmas = rollout_sde(
                     model, params, x, u_seq, time_steps, rng_noise, 1,
                     deterministic=True,
                 )
-                return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev)
+                return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev[:n_u],
+                               s_seq=s_seq)
         else:
-            def seq_cost(u_seq):
+            def seq_cost(z_seq):
+                u_seq = z_seq[:, :n_u] if prox_m else z_seq
+                s_seq = z_seq[:, n_u:] if prox_m else None
                 x_paths, sigmas = rollout_sde(
                     model, params, x, u_seq, time_steps, rng_noise, num_particles,
-                    particle_sharding=particle_sharding,
+                    particle_sharding=particle_sharding, precision=mm_precision,
                 )
-                return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev)
+                return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev[:n_u],
+                               s_seq=s_seq)
 
-        st = apg_solve(seq_cost, opt_state.yk, lb, ub, apg_cfg)
-        u_opt = st.yk
+        st = apg_solve(seq_cost, opt_state.yk, lb_z, ub_z, apg_cfg)
+        z_opt = st.yk                               # (H, nZ)
+        u_opt = z_opt[:, :n_u] if prox_m else z_opt
 
         # Predicted mean trajectory: body-rate columns feed the FCU fallback
         # thrust+rates channel (``sde_control.py:432``). The fused kernel
         # path evaluates it on-chip too.
         if use_pallas and hasattr(seq_cost, "trajectory"):
-            x_evol = seq_cost.trajectory(u_opt)
+            x_evol = seq_cost.trajectory(z_opt)
         else:
             x_evol = rollout_mean(model, params, x, u_opt, time_steps)
 
         # Receding-horizon warm-start shift by one control period.
-        yk_next = jnp.concatenate([u_opt[1:], u_opt[-1:]], axis=0)
+        yk_next = jnp.concatenate([z_opt[1:], z_opt[-1:]], axis=0)
         st_out = st._replace(yk=yk_next)
         return MPCSolution(u_opt=u_opt, opt_state=st_out, rng=rng_next, x_evol=x_evol)
 

@@ -28,11 +28,15 @@ between processes for a multi-process deployment).
 """
 from __future__ import annotations
 
+import logging
+import os
 import threading
 import time
 from typing import Callable, Optional
 
 import numpy as np
+
+_LOG = logging.getLogger("sde4mbrl_px4_tpu.engine")
 
 from sde4mbrl_px4_tpu.core.types import CONTROL_STATES
 from sde4mbrl_px4_tpu.engine.controller import RecedingHorizonController
@@ -58,10 +62,26 @@ class SDEControlNode:
         mailbox_name: Optional[str] = None,
         now_fn: Callable[[], float] = time.time,
         cmd_sink: Optional[Callable] = None,
+        pipeline: bool = True,
     ):
+        # pipeline=True (default): the solver loop only DISPATCHES solves
+        # (never blocks on the device); a collector thread publishes each
+        # plan the moment its solve completes. Plan age stays = solve
+        # latency + transfer (same as blocking mode), while the dispatch
+        # thread is free to take the next doorbell — on a TPU this overlaps
+        # the host transfer with the next dispatch. In-flight solves are
+        # capped at 1 by default (freshness first: overlapped dispatches
+        # serialize on the device and AGE every published plan by a full
+        # solve — measured idx 3-6 vs 1-2 in the closed-loop sim); when the
+        # device is busy, doorbells are skipped and latest-wins hands the
+        # next dispatch the freshest state. SDE4MBRL_MAX_INFLIGHT=2 trades
+        # staleness for throughput when solve time ~ control period.
         self.ctrl = RecedingHorizonController(
-            traj_cfg_path, pos_cfg_path, seed=seed, now_fn=now_fn
+            traj_cfg_path, pos_cfg_path, seed=seed, now_fn=now_fn,
         )
+        self.pipeline = pipeline
+        self.max_inflight = int(os.environ.get("SDE4MBRL_MAX_INFLIGHT", "1"))
+        self._inflight = 0
         self.now_fn = now_fn
         self.cmd_sink = cmd_sink      # callable(motors6, thrust_rates4, mpc_on, weight)
         self.max_h = max(self.ctrl.traj.horizon, self.ctrl.pos.horizon)
@@ -80,6 +100,8 @@ class SDEControlNode:
         self.dt_state_info = 0.0
         self._last_state_time: Optional[float] = None
         self._last_index = 0
+        self.overrun_count = 0
+        self._last_overrun_log = 0.0
         self.mav = None
 
     # ------------------------------------------------------------- lifecycle
@@ -152,6 +174,19 @@ class SDEControlNode:
         is_traj = out[_STATS] > 0.5
         active = self.ctrl.traj if is_traj else self.ctrl.pos
         idx = int((sample_time_usec - plan_sample_t) / active.dt_usec)
+        if idx > active.horizon - 1:
+            # Overrun = the solver missed real time; clamp AND surface it
+            # (reference clamps + logerr, sde_control.py:294-298).
+            self.overrun_count += 1
+            wall = time.time()  # rate-limit on wall clock (now_fn may be sim time)
+            if wall - self._last_overrun_log > 1.0:
+                self._last_overrun_log = wall
+                _LOG.error(
+                    "plan horizon overrun: pickup index %d > %d (plan age "
+                    "%.0f ms, %d total)", idx, active.horizon - 1,
+                    (sample_time_usec - plan_sample_t) / 1e3,
+                    self.overrun_count,
+                )
         idx = max(0, min(idx, active.horizon - 1))
         self._last_index = idx
         u_flat = out[_STATS + 1 : _STATS + 1 + self.max_h * 6]
@@ -183,8 +218,20 @@ class SDEControlNode:
     # ------------------------------------------------------------ solver side
 
     def solver_loop(self) -> None:
-        """Doorbell-driven solve loop (reference ``mpc_process_fn``)."""
-        max_h = self.max_h
+        """Doorbell-driven solve loop (reference ``mpc_process_fn``).
+
+        pipeline mode: this thread dispatches; :meth:`_collector_loop`
+        publishes on completion. Blocking mode solves + publishes inline.
+        """
+        import queue
+
+        col_thread = None
+        if self.pipeline:
+            self._solve_q: "queue.Queue" = queue.Queue()
+            col_thread = threading.Thread(target=self._collector_loop,
+                                          daemon=True)
+            col_thread.start()
+
         while self._running:
             rc = self.mbx.wait_bell(timeout_ms=200)
             if rc < 0:
@@ -198,27 +245,62 @@ class SDEControlNode:
             x = rec[3:16].astype(np.float32)
             target = rec[16:29].astype(np.float32)
 
-            record = self.ctrl.solve_once(
-                x, control_state, trajec_time, target, sample_t
-            )
+            if self.pipeline:
+                # Backpressure: count solves outstanding until PUBLISHED
+                # (not queue occupancy — a popped-but-uncollected entry is
+                # still executing). Skip the doorbell when saturated;
+                # latest-wins hands the next dispatch a fresher state than
+                # any queue would.
+                if self._inflight >= self.max_inflight:
+                    continue
+                entry = self.ctrl.solve_async(
+                    x, control_state, trajec_time, target, sample_t
+                )
+                self._inflight += 1
+                self._solve_q.put(entry)
+            else:
+                record = self.ctrl.solve_once(
+                    x, control_state, trajec_time, target, sample_t
+                )
+                self._post_plan(record)
 
-            out = np.zeros(self.mbx.outbox_len, np.float64)
-            out[0] = sample_t
-            out[1] = record.solve_time
-            out[2] = record.avg_linesearch
-            out[3] = record.stepsize
-            out[4] = record.num_steps
-            out[5] = record.grad_norm
-            out[6] = record.avg_stepsize
-            out[7] = record.cost_init
-            out[8] = record.opt_cost
-            out[_STATS] = 1.0 if self.ctrl.plan_is_traj else 0.0
-            out[_STATS + 1 : _STATS + 1 + max_h * 6] = self.ctrl.u_plan[:, :6].reshape(-1) \
-                if self.ctrl.u_plan.shape[1] >= 6 else np.pad(
-                    self.ctrl.u_plan, ((0, 0), (0, 6 - self.ctrl.u_plan.shape[1]))
-                ).reshape(-1)
-            out[_STATS + 1 + max_h * 6 :] = self.ctrl.w_plan.reshape(-1)
-            self.mbx.post_outbox(out)
+        if col_thread is not None:
+            self._solve_q.put(None)
+            col_thread.join(timeout=5.0)
+
+    def _collector_loop(self) -> None:
+        """Publish each plan the moment its solve completes (in dispatch
+        order — completions are ordered on a single device stream)."""
+        while True:
+            entry = self._solve_q.get()
+            if entry is None:
+                return
+            record = self.ctrl.collect_entry(entry)
+            self._post_plan(record)
+            self._inflight -= 1
+
+    def _post_plan(self, record: OptMPCStateRecord) -> None:
+        max_h = self.max_h
+        out = np.zeros(self.mbx.outbox_len, np.float64)
+        # Stamp with the sample time of the plan actually being published —
+        # the pickup index must be computed against the state the plan was
+        # solved from.
+        out[0] = self.ctrl.plan_sample_time_usec
+        out[1] = record.solve_time
+        out[2] = record.avg_linesearch
+        out[3] = record.stepsize
+        out[4] = record.num_steps
+        out[5] = record.grad_norm
+        out[6] = record.avg_stepsize
+        out[7] = record.cost_init
+        out[8] = record.opt_cost
+        out[_STATS] = 1.0 if self.ctrl.plan_is_traj else 0.0
+        out[_STATS + 1 : _STATS + 1 + max_h * 6] = self.ctrl.u_plan[:, :6].reshape(-1) \
+            if self.ctrl.u_plan.shape[1] >= 6 else np.pad(
+                self.ctrl.u_plan, ((0, 0), (0, 6 - self.ctrl.u_plan.shape[1]))
+            ).reshape(-1)
+        out[_STATS + 1 + max_h * 6 :] = self.ctrl.w_plan.reshape(-1)
+        self.mbx.post_outbox(out)
 
     # ------------------------------------------------------------- services
 

@@ -163,7 +163,16 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("launch_file")
     ap.add_argument("--repl", action="store_true", help="attach the mission REPL")
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator address host:port "
+                         "(or env SDE4MBRL_COORDINATOR)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
+    # Multi-host bring-up must precede any JAX op (parallel/distributed.py).
+    from sde4mbrl_px4_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
     launch_from_file(args.launch_file, repl=args.repl)
 
 

@@ -31,9 +31,31 @@ from sde4mbrl_px4_tpu.core import quaternion as quat
 from sde4mbrl_px4_tpu.core.types import POS, VEL, QUAT, OMEGA
 from sde4mbrl_px4_tpu.models.vehicles import VehicleConfig, vehicle_from_name
 
-__all__ = ["NeuralSDE", "init_params", "drift_fn", "diffusion_fn", "mlp_apply"]
+__all__ = ["NeuralSDE", "init_params", "drift_fn", "diffusion_fn", "mlp_apply",
+           "resolve_precision"]
 
 _G = 9.81
+
+
+def resolve_precision(name) -> jax.lax.Precision:
+    """Map a config string to a matmul precision.
+
+    ``highest`` (default, f32 multi-pass on the MXU) matches the reference's
+    f32-on-CPU numerics for the parity configs; ``default``/``bf16`` uses
+    the MXU's native bf16-input/f32-accumulate path (~4x matmul throughput)
+    — appropriate for large Monte-Carlo particle batches where the Brownian
+    sampling noise dominates bf16 rounding (``engine/mpc_loader.py`` picks
+    it automatically for ``num_particles`` > 128; override with the
+    ``matmul_precision`` config key).
+    """
+    if isinstance(name, jax.lax.Precision):
+        return name
+    return {
+        None: jax.lax.Precision.HIGHEST,
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+        "bf16": jax.lax.Precision.DEFAULT,
+    }[name if name is None else str(name).lower()]
 # Diffusion acts on velocity-like states only: v (3) + omega (3).
 _DIFF_DIM = 6
 _FEAT_DIM_BASE = 10  # v(3) + omega(3) + R_z row(3) + 1 spare for padding alignment
@@ -88,13 +110,14 @@ class NeuralSDE(NamedTuple):
         return diffusion_fn(self, params, x, u)
 
 
-def trunk_apply(params: Dict[str, Any], x: jax.Array, u: jax.Array):
+def trunk_apply(params: Dict[str, Any], x: jax.Array, u: jax.Array,
+                precision=jax.lax.Precision.HIGHEST):
     """Shared two-head network: one trunk, (wrench residual, raw sigma) heads.
 
     The residual force/torque and the diffusion magnitude share the trunk so
     each EM step costs 3 matmuls instead of 5 — the matmul count is the
     per-step latency driver on TPU (~4us issue latency per small matmul;
-    measured, see ops/pallas).
+    measured, see ops/pallas). ``precision``: see :func:`resolve_precision`.
     """
     h = _feat(x, u)
     net = params["net"]
@@ -104,7 +127,7 @@ def trunk_apply(params: Dict[str, Any], x: jax.Array, u: jax.Array):
         h = jax.lax.dot_general(
             h, w, (((h.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         ) + b
         if i < n_layers - 1:
             h = jax.nn.swish(h)
@@ -150,9 +173,10 @@ def drift_terms(model: NeuralSDE, params: Dict[str, Any], x: jax.Array,
     return jnp.concatenate([v, acc, dq, domega], axis=-1)
 
 
-def drift_and_sigma(model: NeuralSDE, params: Dict[str, Any], x: jax.Array, u: jax.Array):
+def drift_and_sigma(model: NeuralSDE, params: Dict[str, Any], x: jax.Array,
+                    u: jax.Array, precision=jax.lax.Precision.HIGHEST):
     """Fused (drift, sigma13) evaluation — one trunk pass for both."""
-    res, sig6 = trunk_apply(params, x, u)
+    res, sig6 = trunk_apply(params, x, u, precision=precision)
     return drift_terms(model, params, x, u, res), sigma13(x, sig6)
 
 

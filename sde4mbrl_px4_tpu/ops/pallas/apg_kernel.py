@@ -19,26 +19,23 @@ Semantics mirror ``solver/apg.py::apg_solve`` with ``vector_linesearch``
 - atol/rtol stopping on accepted steps + ``max_no_improvement_iter``
   stagnation; identical ``APGState`` stats fields.
 
-Mosaic-dictated construction (see ops/pallas/solve_kernels.py for the
-measured constraints): per-step data read from horizon-major refs; the
-candidate block lives in a VMEM scratch so the rollout can page through it;
-per-candidate scalars extracted by masked reduction (no minor-dim slicing);
-the accepted iterate is RECOMPUTED from the accepted scalar stepsize
-(dynamic minor-dim gathers are not lowerable).
+The step math and both horizon sweeps are shared with the oracle kernels
+through ``ops/pallas/bodies.py`` (single source of truth; this file owns
+only the APG loop, the Armijo accept logic and the consts/scratch
+plumbing). Mosaic-dictated construction (see ``bodies.py`` /
+``solve_kernels.py`` for the measured constraints): per-step data read
+from horizon-major refs; the candidate block lives in a VMEM scratch so
+the rollout can page through it; per-candidate scalars extracted by
+masked reduction (no minor-dim slicing); the accepted iterate is
+RECOMPUTED from the accepted scalar stepsize (dynamic minor-dim gathers
+are not lowerable).
 
 Equivalence with the XLA solver is enforced by
 ``tests/test_apg_kernel.py`` in interpreter mode.
 
-MAINTENANCE: the vg forward/backward bodies and the candidate-rollout body
-intentionally mirror ``solve_kernels.py`` (``_vg_kernel``/``_batch_kernel``)
-with a different consts ordering. Any change to the step math, the
-closed-form control gradients, or the consts layout must be applied to BOTH
-files; each file's XLA-parity test will catch a one-sided edit
-(``test_pallas_kernels.py`` / ``test_apg_kernel.py``). Structural dedup
-(shared body builders parameterized by ref wiring) is planned.
-
-Restrictions: P (num_particles) small enough for VMEM (<=128, like the vg
-kernel) and ``use_linesearch`` configs (the reference always uses the
+Large particle counts: pass ``chunk`` to sweep the Monte-Carlo axis in
+in-kernel chunks (lifts the P<=128 scoped-VMEM cap; see ``bodies.py``).
+Requires ``use_linesearch`` configs (the reference always uses the
 linesearch block).
 """
 from __future__ import annotations
@@ -52,11 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sde4mbrl_px4_tpu.cost.cost import CostParams
 from sde4mbrl_px4_tpu.models.sde_model import NeuralSDE
-from sde4mbrl_px4_tpu.ops.pallas.solve_kernels import (
-    _control_cost,
-    _make_step,
-    _NSCAL,
+from sde4mbrl_px4_tpu.ops.pallas.bodies import (
+    SweepCtx,
+    make_step as _make_step,
+    run_candidates,
+    vg_sweep,
 )
+from sde4mbrl_px4_tpu.ops.pallas.solve_kernels import build_consts
 from sde4mbrl_px4_tpu.solver.apg import APGConfig, APGState
 
 __all__ = ["pallas_apg_solve"]
@@ -75,9 +74,10 @@ def pallas_apg_solve(
     num_particles: int,
     lb: jax.Array,
     ub: jax.Array,
-    u_init: jax.Array,         # (H, n) warm start
+    u_init: jax.Array,         # (H, nZ) warm start
     interpret: bool = False,
     deterministic: bool | None = None,
+    chunk: int = 0,
 ) -> APGState:
     """One fused APG solve -> APGState (yk = best iterate, unshifted)."""
     H = int(time_steps.shape[0])
@@ -88,63 +88,20 @@ def pallas_apg_solve(
     if deterministic is None:
         deterministic = P <= 1
     assert apg.use_linesearch, "mega-kernel requires the linesearch block"
+    if chunk and P % chunk != 0:
+        raise ValueError(f"num_particles={P} must divide by chunk={chunk}")
+    if chunk and P <= chunk:
+        chunk = 0
 
-    net = params["net"]
-    w0, w1, w2 = net["w0"].astype(f32), net["w1"].astype(f32), net["w2"].astype(f32)
-    b0 = net["b0"].reshape(1, -1).astype(f32)
-    b1 = net["b1"].reshape(1, -1).astype(f32)
-    b2 = net["b2"].reshape(1, -1).astype(f32)
-    mix_eff = (
-        jnp.asarray(model.vehicle.mixing, f32)
-        * jnp.exp(params["motor"]["log_gain"])[:, None]
-    )
-    inertia = jnp.asarray(model.vehicle.inertia, f32).reshape(1, 3)
-    disc = cp.discount ** jnp.arange(1, H + 1, dtype=f32)
-    wstate = jnp.concatenate([cp.perr, cp.verr, cp.qerr, cp.werr]).reshape(1, 12)
-    has_slew = cp.u_slew_constr is not None
-    slew_lo = (cp.u_slew_constr[:, 0].reshape(1, n) if has_slew
-               else jnp.zeros((1, n), f32))
-    slew_hi = (cp.u_slew_constr[:, 1].reshape(1, n) if has_slew
-               else jnp.zeros((1, n), f32))
-    scal = jnp.stack([
-        jnp.float32(model.vehicle.mass),
-        jnp.exp(params["diffusion_log_scale"]),
-        cp.uerr, cp.u_slew_coeff, cp.u_slew_constr_coeff, cp.res_mult,
-    ]).reshape(1, _NSCAL)
-
-    has_sc = cp.state_pen13 is not None
-    sc_arrays = ()
-    if has_sc:
-        sc_arrays = (
-            (cp.constr_pen * cp.state_pen13).reshape(1, 13),
-            cp.state_lo13.reshape(1, 13),
-            cp.state_hi13.reshape(1, 13),
-            cp.state_inv_scale13.reshape(1, 13),
-        )
-    _N_SC = len(sc_arrays)
-
-    consts = (
-        x0.reshape(1, 13).astype(f32),
-        x_ref.astype(f32).reshape(H + 1, 1, 13),
-        u_prev.reshape(1, n).astype(f32),
-        jnp.transpose(noise.astype(f32), (1, 0, 2)),      # (H, P, 13)
-        w0, b0, w1, b1, w2, b2, mix_eff, inertia,
-        disc.reshape(H, 1),                               # VMEM copy (vector use)
-        wstate, cp.uref.reshape(1, n), slew_lo, slew_hi, scal,
-        lb.reshape(1, n).astype(f32), ub.reshape(1, n).astype(f32),
-        time_steps.reshape(H, 1).astype(f32),             # VMEM copy
-    ) + sc_arrays + (
-        # SMEM twins for per-step scalar reads
-        time_steps.reshape(H, 1).astype(f32),
-        disc.reshape(H, 1),
+    consts, const_specs, (has_slew, has_sc, prox, _N_SC, nZ) = build_consts(
+        model, params, cp, time_steps, x0, x_ref, u_prev, noise, H, n,
+        with_box=(lb, ub), chunk=chunk,
     )
     n_const = len(consts)
-    _vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    _smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    const_specs = [_vmem] * (n_const - 2) + [_smem, _smem]
-
     step1 = _make_step(float(model.vehicle.mass), has_noise=not deterministic,
-                       has_state_constr=has_sc)
+                       has_state_constr=has_sc, n_u=n if prox else None)
+    Pc = chunk if chunk else P
+    _vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     # static Armijo schedule scalars
     DF = float(apg.decrease_factor)
@@ -156,113 +113,44 @@ def pallas_apg_solve(
     def _kernel(u0_ref, *refs):
         const_refs = refs[:n_const]
         out_u_ref = refs[n_const]
-        out_stats_ref = refs[n_const + 1]        # (1, 8) SMEM? VMEM fine
-        xs_ref = refs[n_const + 2]               # (H+1, P, 13) scratch
-        g_ref = refs[n_const + 3]                # (H, 1, n) scratch
-        cand_ref = refs[n_const + 4]             # (H, K, n) scratch
-        u_scr = refs[n_const + 5]                # (H, 1, n) scratch: the
+        out_stats_ref = refs[n_const + 1]        # (1, 8)
+        xs_ref = refs[n_const + 2]               # (H+1, Pc, 13) scratch
+        g_ref = refs[n_const + 3]                # (H, 1, nZ) scratch
+        cand_ref = refs[n_const + 4]             # (H, K, nZ) scratch
+        u_scr = refs[n_const + 5]                # (H, 1, nZ) scratch: the
         # iterate being differentiated (fori bodies need dynamic per-step
         # reads, which only refs support)
 
         (x0_ref, xref_ref, uprev_ref, noise_ref, *wrefs) = const_refs
         ts_s, ds_s = wrefs[-2], wrefs[-1]
         sc_vals = tuple(r[:] for r in wrefs[-2 - _N_SC:-2]) if _N_SC else None
-        (W0, B0, W1, B1, W2, B2, MIX, IN, DS, WS, UREF, SLO, SHI, SC,
-         LB, UB, TSV) = (r[:] for r in wrefs[: -2 - _N_SC])
+        (W0, B0, W1, B1, W2, B2, MIX, IN, TSV, DS, WS, UREF, SLO, SHI, SC,
+         LB, UB) = (r[:] for r in wrefs[: -2 - _N_SC])
         W = (W0, B0, W1, B1, W2, B2, MIX, IN, WS, SC[0, 1])
-        B = P
+        ctx = SweepCtx(
+            step=step1, H=H, n=nZ, n_u=n, P=P,
+            noise_ref=noise_ref, xref_ref=xref_ref, ts_s=ts_s, ds_s=ds_s,
+            W=W, sc_vals=sc_vals, uprev=uprev_ref[:], UREF=UREF, DS=DS,
+            SC=SC, SLO=SLO, SHI=SHI, TSV=TSV, has_slew=has_slew, chunk=chunk,
+        )
         res_mult = SC[0, 5]
-        uprev = uprev_ref[:]
+        uprev = ctx.uprev
         x0v = x0_ref[:]
-        x0b = jnp.broadcast_to(x0v, (B, 13))
 
-        def proj1(u3):  # (H,1,n)
+        def proj1(u3):  # (H,1,nZ)
             return jnp.clip(u3, LB[None], UB[None])
 
-        # ---------------- value+grad of a (H,1,n) iterate ------------------
         def vg(u3):
+            """value+grad of a (H,1,nZ) iterate; gradient lands in g_ref."""
             u_scr[:] = u3
-            xs_ref[0] = x0b
-
-            def fwd_body(t, carry):
-                p_, v, q, om, jt, jr = carry
-                u_b = jnp.broadcast_to(u_scr[t], (B, n))
-                z = noise_ref[t]
-                r = xref_ref[t + 1]
-                dt = ts_s[t, 0]
-                d_t = ds_s[t, 0]
-                (p1, v1, q1, om1), track, res2 = step1(p_, v, q, om, u_b, z,
-                                                       r, dt, W, sc_vals)
-                xs_ref[t + 1] = jnp.concatenate([p1, v1, q1, om1], axis=1)
-                return (p1, v1, q1, om1,
-                        jt + d_t * jnp.mean(track), jr + d_t * jnp.mean(res2))
-
-            outc = jax.lax.fori_loop(
-                0, H, fwd_body,
-                (x0b[:, 0:3], x0b[:, 3:6], x0b[:, 6:10], x0b[:, 10:13],
-                 f32(0.0), f32(0.0)),
-            )
-            j_track, j_res = outc[4], outc[5]
-            j_ctrl = _control_cost(u3[:, 0, :], uprev, UREF, DS, SC, SLO, SHI,
-                                   TSV, has_slew)
-            val = j_track + res_mult * j_res + j_ctrl
-
-            uerr = SC[0, 2]
-            slew_coeff = SC[0, 3]
-            slew_c_coeff = SC[0, 4]
-
-            def bwd_body(s_i, ct):
-                ct_p, ct_v, ct_q, ct_om = ct
-                t = H - 1 - s_i
-                st = xs_ref[t]
-                p_, v, q, om = st[:, 0:3], st[:, 3:6], st[:, 6:10], st[:, 10:13]
-                u_t = u_scr[t]
-                u_b = jnp.broadcast_to(u_t, (B, n))
-                z = noise_ref[t]
-                r = xref_ref[t + 1]
-                dt = ts_s[t, 0]
-                d_t = ds_s[t, 0]
-
-                def f(p_a, v_a, q_a, om_a, u_a):
-                    (p1, v1, q1, om1), track, res2 = step1(
-                        p_a, v_a, q_a, om_a, u_a, z, r, dt, W, sc_vals)
-                    return p1, v1, q1, om1, jnp.mean(track), jnp.mean(res2)
-
-                _, vjp_fn = jax.vjp(f, p_, v, q, om, u_b)
-                gp, gv, gq, gom, gu = vjp_fn(
-                    (ct_p, ct_v, ct_q, ct_om, d_t, d_t * res_mult))
-
-                u_prev_t = jnp.where(t == 0, uprev, u_scr[jnp.maximum(t - 1, 0)])
-                sl_t = u_t - u_prev_t
-                g_ctrl = 2.0 * uerr * d_t * (u_t - UREF) + 2.0 * slew_coeff * sl_t
-                u_next = u_scr[jnp.minimum(t + 1, H - 1)]
-                sl_n = jnp.where(t + 1 < H, u_next - u_t, jnp.zeros_like(u_t))
-                g_ctrl = g_ctrl - 2.0 * slew_coeff * sl_n
-                if has_slew:
-                    rate_t = sl_t / dt
-                    g_rt = (2.0 * jnp.maximum(rate_t - SHI, 0.0)
-                            - 2.0 * jnp.maximum(SLO - rate_t, 0.0)) / dt
-                    dt_n = ts_s[jnp.minimum(t + 1, H - 1), 0]
-                    rate_n = sl_n / dt_n
-                    g_rn = (2.0 * jnp.maximum(rate_n - SHI, 0.0)
-                            - 2.0 * jnp.maximum(SLO - rate_n, 0.0)) / dt_n
-                    g_ctrl = g_ctrl + slew_c_coeff * (
-                        g_rt - jnp.where(t + 1 < H, g_rn, jnp.zeros_like(g_rn)))
-
-                g_ref[t] = jnp.sum(gu, axis=0, keepdims=True) + g_ctrl
-                return (gp, gv, gq, gom)
-
-            zero3 = jnp.zeros((B, 3), f32)
-            zero4 = jnp.zeros((B, 4), f32)
-            jax.lax.fori_loop(0, H, bwd_body, (zero3, zero3, zero4, zero3))
-            return val  # gradient is in g_ref
+            return vg_sweep(ctx, u_scr, g_ref, xs_ref, x0v)
 
         # ------------- batched candidate evaluation (K at once) ------------
         iota_k3 = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1).astype(f32)  # (1,K,1); int iota (f32 iota is not lowerable)
 
         def cand_values(y3, g3, t0):
-            """Write clip(y - t_k g) into cand_ref and return rollout+cost
-            (K,1) plus per-candidate lin/quad scalars for the Armijo bound."""
+            """Write clip(y - t_k g) into cand_ref and return per-candidate
+            total costs plus lin/quad scalars for the Armijo bound."""
             # Exact DF**k per candidate (mask-built): MUST match the Python
             # float pow used for the accept bound and the accepted-iterate
             # recompute below — an exp/log schedule differs by ~1e-7 rel,
@@ -272,53 +160,26 @@ def pallas_apg_solve(
                 for k in range(K)
             )
             ts3 = t0 * df_pows                                   # (1,K,1)
-            U_cand = jnp.clip(y3 - ts3 * g3, LB[None], UB[None])  # (H,K,n)
+            U_cand = jnp.clip(y3 - ts3 * g3, LB[None], UB[None])  # (H,K,nZ)
             cand_ref[:] = U_cand
 
-            KB = K * P
-
-            def body(t, carry):
-                p_, v, q, om, jt, jr = carry
-                u_k = cand_ref[t]                               # (K, n)
-                if P == 1:
-                    u_b = u_k
-                    z = noise_ref[t]
-                else:
-                    u_b = jnp.broadcast_to(u_k[None], (P, K, n)).reshape(KB, n)
-                    z = jnp.broadcast_to(
-                        noise_ref[t][:, None, :], (P, K, 13)).reshape(KB, 13)
-                r = xref_ref[t + 1]
-                dt = ts_s[t, 0]
-                d_t = ds_s[t, 0]
-                (p1, v1, q1, om1), track, res2 = step1(p_, v, q, om, u_b, z,
-                                                       r, dt, W, sc_vals)
-                return (p1, v1, q1, om1, jt + d_t * track, jr + d_t * res2)
-
-            pk = jnp.broadcast_to(x0v, (KB, 13))
-            outk = jax.lax.fori_loop(
-                0, H, body,
-                (pk[:, 0:3], pk[:, 3:6], pk[:, 6:10], pk[:, 10:13],
-                 jnp.zeros((KB, 1), f32), jnp.zeros((KB, 1), f32)),
-            )
-            j_track, j_res = outk[4], outk[5]
-            if P > 1:
-                j_track = jnp.mean(j_track.reshape(P, K), axis=0, keepdims=True).T
-                j_res = jnp.mean(j_res.reshape(P, K), axis=0, keepdims=True).T
-            roll_k = j_track + res_mult * j_res                  # (K,1)
+            roll_t, roll_r = run_candidates(ctx, cand_ref, K, x0v)
+            roll_k = roll_t + res_mult * roll_r                  # (K,1)
 
             # control cost + Armijo pieces, vectorized then mask-extracted
-            du = U_cand - UREF[None]
+            U_ctrl = U_cand[:, :, 0:n]
+            du = U_ctrl - UREF[None]
             uerr = SC[0, 2]
             slew_coeff = SC[0, 3]
             slew_c_coeff = SC[0, 4]
             disc3 = DS[:, :, None] if DS.ndim == 2 else DS      # (H,1,1)
             cc = uerr * disc3 * du * du                          # (H,K,n)
-            uprev_b = jnp.broadcast_to(uprev[None], (1, K, n))
+            uprev_b = jnp.broadcast_to(uprev[None, :, 0:n], (1, K, n))
             if H > 1:
-                prev = jnp.concatenate([uprev_b, U_cand[:-1]], axis=0)
+                prev = jnp.concatenate([uprev_b, U_ctrl[:-1]], axis=0)
             else:
                 prev = uprev_b  # H == 1: zero-size slice is not lowerable
-            sl = U_cand - prev
+            sl = U_ctrl - prev
             cc = cc + slew_coeff * sl * sl
             if has_slew:
                 rate = sl / TSV[:, :, None]
@@ -421,22 +282,22 @@ def pallas_apg_solve(
     out_u, out_stats = pl.pallas_call(
         _kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((H, 1, n), f32),
+            jax.ShapeDtypeStruct((H, 1, nZ), f32),
             jax.ShapeDtypeStruct((1, 8), f32),
         ),
         in_specs=[_vmem] + const_specs,
         out_specs=(_vmem, _vmem),
         scratch_shapes=[
-            pltpu.VMEM((H + 1, P, 13), jnp.float32),
-            pltpu.VMEM((H, 1, n), jnp.float32),
-            pltpu.VMEM((H, K, n), jnp.float32),
-            pltpu.VMEM((H, 1, n), jnp.float32),
+            pltpu.VMEM((H + 1, Pc, 13), jnp.float32),
+            pltpu.VMEM((H, 1, nZ), jnp.float32),
+            pltpu.VMEM((H, K, nZ), jnp.float32),
+            pltpu.VMEM((H, 1, nZ), jnp.float32),
         ],
         interpret=interpret,
-    )(u_init.astype(f32).reshape(H, 1, n), *consts)
+    )(u_init.astype(f32).reshape(H, 1, nZ), *consts)
 
     return APGState(
-        yk=out_u.reshape(H, n),
+        yk=out_u.reshape(H, nZ),
         num_steps=out_stats[0, 0],
         stepsize=out_stats[0, 1],
         avg_stepsize=out_stats[0, 2],

@@ -98,6 +98,7 @@ def rollout_sde(
     num_particles: int,
     deterministic: bool = False,
     particle_sharding=None,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[jax.Array, jax.Array]:
     """Monte-Carlo EM rollout.
 
@@ -131,7 +132,7 @@ def rollout_sde(
 
     def body(x, inp):
         u, dt, z = inp
-        f, sig = drift_and_sigma(model, params, x, u)
+        f, sig = drift_and_sigma(model, params, x, u, precision=precision)
         x1 = _renorm_quat(x + dt * f + jnp.sqrt(dt) * sig * z)
         return x1, (x1, sig)
 

@@ -99,3 +99,28 @@ def test_mega_solve_particles(iris_traj_bundle):
     np.testing.assert_allclose(np.asarray(st_p.yk), np.asarray(st_x.yk),
                                rtol=5e-4, atol=5e-5)
     assert float(st_p.opt_cost) == pytest.approx(float(st_x.opt_cost), rel=5e-4)
+
+
+def test_mega_solve_chunked_particles(iris_traj_bundle):
+    """P=8 chunked at 4 must match the unchunked mega-kernel solve."""
+    cfg, fns, sft, b = iris_traj_bundle
+    H, n = 20, b.model.n_u
+    apg = b.apg_config._replace(max_iter=5, max_no_improvement_iter=5)
+    cp = b.cost_params
+    rng = jax.random.PRNGKey(1)
+    x0 = hover_state().at[0].set(0.3).at[3].set(0.2)
+    x_ref = jnp.broadcast_to(hover_state(), (H + 1, 13))
+    u_prev = cp.uref
+    u_init = jnp.broadcast_to(cp.uref, (H, n)) + 0.02
+    P = 8
+    noise = jnp.transpose(jax.random.normal(rng, (H, P, 13)), (1, 0, 2))
+    kw = dict(interpret=True, deterministic=False)
+    st_w = pallas_apg_solve(b.model, b.params, cp, apg, b.time_steps, x0,
+                            x_ref, u_prev, noise, P, b.lb, b.ub, u_init, **kw)
+    st_c = pallas_apg_solve(b.model, b.params, cp, apg, b.time_steps, x0,
+                            x_ref, u_prev, noise, P, b.lb, b.ub, u_init,
+                            chunk=4, **kw)
+    assert int(st_c.num_steps) == int(st_w.num_steps)
+    np.testing.assert_allclose(np.asarray(st_c.yk), np.asarray(st_w.yk),
+                               rtol=5e-4, atol=5e-5)
+    assert float(st_c.opt_cost) == pytest.approx(float(st_w.opt_cost), rel=2e-4)

@@ -171,7 +171,9 @@ def test_state_constraint_penalty():
     assert float(cost(xp, None, u, ref)) == pytest.approx(0.5, rel=1e-5)
 
 
-def test_state_constraint_proximal_unimplemented():
+def test_state_constraint_proximal_fields():
+    """slack_proximal: True parses into the augmented-variable form
+    (full behavior covered by tests/test_prox_slack.py)."""
     cfg = {
         "cost_params": {"uref": [0.5] * 4},
         "state_constr": {
@@ -179,5 +181,7 @@ def test_state_constraint_proximal_unimplemented():
             "state_bound": [[-1, 1]], "slack_proximal": True,
         },
     }
-    with pytest.raises(NotImplementedError, match="slack_proximal"):
-        CostParams.from_config(cfg, 4)
+    cp = CostParams.from_config(cfg, 4)
+    assert cp.slack_sel.shape == (1, 13)
+    assert cp.state_pen13 is None
+    assert float(cp.slack_lo[0]) == -1.0 and float(cp.slack_hi[0]) == 1.0

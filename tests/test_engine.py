@@ -195,6 +195,10 @@ def test_solve_and_pickup(rh_controller):
 
 def test_pickup_time_indexing_and_clamp(rh_controller):
     c, _ = rh_controller
+    if c.plan_sample_time_usec <= 0:  # self-sufficient under xdist ordering
+        x = np.asarray(hover_state())
+        c.solve_once(x, CONTROL_STATES["pos"], -1.0, x,
+                     sample_time_usec=1_000_000.0)
     # index advances with sample time, clamps at horizon end with overrun
     u0, _, i0 = c.pick_command(1_000_000.0)
     _, _, i2 = c.pick_command(1_000_000.0 + 2 * c.pos.dt_usec)
@@ -213,3 +217,37 @@ def test_no_plan_returns_none(rh_controller, repo_root):
         seed=1, now_fn=FakeClock(),
     )
     assert c2.pick_command(123.0) is None
+
+
+def test_state_aware_warm_start_reduces_transient(repo_root):
+    """reset_fn compensates tilt + vertical rate: the first solve from a
+    disturbed hand-off state starts at lower cost than a bare-hover warm
+    start (VERDICT r1 item 7; reference contract sde_control.py:702)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from sde4mbrl_px4_tpu.engine.mpc_loader import load_mpc_from_cfgfile
+
+    cfg, (reset_fn, mpc_fn), _, b = load_mpc_from_cfgfile(
+        os.path.join(repo_root, "configs/iris_posctrl_mpc.yaml"))
+    # tilted 25 deg about x, descending 1.2 m/s (NED vz > 0)
+    x = np.array(hover_state(), np.float32)
+    x[5] = 1.2
+    x[6], x[7] = np.cos(0.22), np.sin(0.22)
+    x = jnp.asarray(x)
+    rng = jax.random.PRNGKey(0)
+
+    st_aware = reset_fn(x, rng, x)
+    st_hover = st_aware._replace(yk=jnp.broadcast_to(b.cost_params.uref, st_aware.yk.shape))
+    jm = jax.jit(mpc_fn)
+    sol_aware = jm(x, rng, st_aware, 0.0, x)
+    sol_hover = jm(x, rng, st_hover, 0.0, x)
+    ci_aware = float(sol_aware.opt_state.init_cost)
+    ci_hover = float(sol_hover.opt_state.init_cost)
+    assert ci_aware < ci_hover, (ci_aware, ci_hover)
+    # and the warm start respects the input box
+    u0 = np.asarray(st_aware.yk[0])
+    assert (u0 >= np.asarray(b.lb) - 1e-7).all() and (u0 <= np.asarray(b.ub) + 1e-7).all()
+    assert u0.max() > float(b.cost_params.uref[0])  # thrust actually raised

@@ -141,3 +141,43 @@ def test_service_channel_over_udp(node):
         assert cli.initialize_mpc() in (True, False)  # still responsive
     finally:
         cli.close()
+
+
+def test_pipelined_controller_matches_sync_shifted(repo_root, tmp_path):
+    """pipeline=True publishes plan k-1 at call k with plan k-1's own
+    sample stamp; the solve chain itself is identical to sync mode."""
+    import yaml as _yaml
+    from sde4mbrl_px4_tpu.engine.controller import RecedingHorizonController
+
+    d = tmp_path
+    (d / "traj.yaml").write_text(_yaml.safe_dump(_tiny_cfg(repo_root, True)))
+    (d / "pos.yaml").write_text(_yaml.safe_dump(_tiny_cfg(repo_root, False)))
+    mk = lambda pipe: RecedingHorizonController(
+        str(d / "traj.yaml"), str(d / "pos.yaml"), seed=0,
+        now_fn=lambda: 0.0, pipeline=pipe,
+    )
+    sync, pipe = mk(False), mk(True)
+
+    xs = [np.asarray(hover_state(), np.float32).copy() for _ in range(5)]
+    for i, x in enumerate(xs):
+        x[0] += 0.05 * i
+    stamps = [1e6 + 5e4 * k for k in range(5)]
+
+    sync_plans, sync_stamps = [], []
+    for x, t in zip(xs, stamps):
+        sync.solve_once(x, 3, -1.0, x, sample_time_usec=t)
+        sync_plans.append(sync.u_plan.copy())
+        sync_stamps.append(sync.plan_sample_time_usec)
+
+    for k, (x, t) in enumerate(zip(xs, stamps)):
+        pipe.solve_once(x, 3, -1.0, x, sample_time_usec=t)
+        if k == 0:
+            # cold start publishes its own solve
+            assert pipe.plan_sample_time_usec == stamps[0]
+        else:
+            # steady state: published plan is the previous call's solve
+            assert pipe.plan_sample_time_usec == stamps[k - 1]
+            np.testing.assert_allclose(pipe.u_plan, sync_plans[k - 1],
+                                       rtol=1e-6, atol=1e-7)
+    # plan staleness never exceeds one control period
+    assert stamps[-1] - pipe.plan_sample_time_usec == pytest.approx(5e4)

@@ -179,3 +179,39 @@ def test_state_constraint_parity(iris_pos_bundle, u_test):
         return cost0(xp, sg, u_seq, x_ref, cp0.uref)
 
     assert float(seq_cost(u)) > float(seq_cost0(u)) + 0.01
+
+
+def test_chunked_particles_parity(iris_traj_bundle, u_test):
+    """chunk=4 with P=8: in-kernel particle chunking must reproduce the
+    unchunked value/batch/grad results (same draws, same mean reduction)."""
+    cfg, fns, sft, b = iris_traj_bundle
+    H = int(b.time_steps.shape[0])
+    n = b.model.n_u
+    rng = jax.random.PRNGKey(2)
+    x0 = hover_state().at[0].set(0.3).at[3].set(0.2)
+    x_ref = jnp.broadcast_to(hover_state(), (H + 1, 13))
+    u_prev = b.cost_params.uref
+    P = 8
+    noise = jnp.transpose(
+        jax.random.normal(rng, (H, P, 13), jnp.float32), (1, 0, 2)
+    )
+    whole = pallas_cost_oracle(
+        b.model, b.params, b.cost_params, b.time_steps, x0, x_ref, u_prev,
+        noise, P, maxls=4, interpret=True,
+    )
+    chunked = pallas_cost_oracle(
+        b.model, b.params, b.cost_params, b.time_steps, x0, x_ref, u_prev,
+        noise, P, maxls=4, interpret=True, chunk=4,
+    )
+    u = u_test(H, n, seed=17)
+    assert float(whole.value(u)) == pytest.approx(float(chunked.value(u)), rel=2e-5)
+    U = jnp.stack([u_test(H, n, seed=s) for s in range(3)])
+    np.testing.assert_allclose(
+        np.asarray(whole.value_batch(U)), np.asarray(chunked.value_batch(U)),
+        rtol=2e-5,
+    )
+    v_w, g_w = whole.value_and_grad(u)
+    v_c, g_c = chunked.value_and_grad(u)
+    assert float(v_w) == pytest.approx(float(v_c), rel=2e-5)
+    np.testing.assert_allclose(np.asarray(g_w), np.asarray(g_c), rtol=5e-4,
+                               atol=5e-5)

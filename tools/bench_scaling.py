@@ -34,6 +34,11 @@ def main():
                     help="force N virtual CPU devices (implies --cpu)")
     ap.add_argument("--max-b", type=int, default=256)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator host:port "
+                         "(or env SDE4MBRL_COORDINATOR)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     if args.virtual_devices:
@@ -45,6 +50,11 @@ def main():
 
     if args.cpu or args.virtual_devices:
         jax.config.update("jax_platforms", "cpu")
+    # Multi-host: one mesh over all processes' devices (DCN between hosts);
+    # must run before any JAX op.
+    from sde4mbrl_px4_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -65,8 +75,13 @@ def main():
     results = []
     B = n_dev
     while B <= args.max_b:
-        xs, rngs = make_batch_inputs(mesh, B, spread=0.5)
-        ts = jax.device_put(jnp.zeros((B,)), NamedSharding(mesh, P("dp")))
+        if jax.process_count() > 1:
+            from sde4mbrl_px4_tpu.parallel.distributed import global_batch_inputs
+
+            xs, rngs, ts = global_batch_inputs(mesh, B, spread=0.5)
+        else:
+            xs, rngs = make_batch_inputs(mesh, B, spread=0.5)
+            ts = jax.device_put(jnp.zeros((B,)), NamedSharding(mesh, P("dp")))
         st = reset_b(xs, rngs, xs)
         sol = mpc_b(xs, rngs, st, ts, xs)
         jax.block_until_ready(sol.u_opt)
