@@ -158,6 +158,10 @@ def _bench_pipelined(jm, reset_fn, state_from_traj, dt, _log,
                 x_host = np.asarray(x_evol[1])
             cur = jm(jnp.asarray(x_host), rng, st, jnp.float32(t), jnp.asarray(x_host))
             rng, st = cur.rng, cur.opt_state        # device handles, no transfer
+            # Stream the results host-ward in the background so next tick's
+            # fetch is a local copy (engine/controller.py does the same).
+            cur.u_opt.copy_to_host_async()
+            cur.x_evol.copy_to_host_async()
             prev = cur
             busy = time.perf_counter() - t1
             if k >= n_warm:

@@ -23,6 +23,7 @@ Structure:
 """
 from __future__ import annotations
 
+import os
 import shlex
 import threading
 import time
@@ -58,6 +59,12 @@ class VehicleBase:
     def arm(self, value: bool) -> None: ...
     def set_flight_mode(self, mode: str) -> None: ...  # "OFFBOARD" | "AUTO.LAND" | ...
     def push_setpoint(self, pos: np.ndarray, yaw: float) -> None: ...
+
+    def set_param(self, name: str, value) -> bool:
+        """Push one FCU firmware parameter (reference uses
+        ``/mavros/param/set``, ``basic_control.py:110-121``). Default: not
+        supported by this vehicle backend."""
+        return False
     @property
     def armed(self) -> bool: ...
     @property
@@ -107,6 +114,10 @@ class SimVehicle(VehicleBase):
     def push_setpoint(self, pos: np.ndarray, yaw: float) -> None:
         self._setpoint = np.asarray(pos, np.float64)
         self._setpoint_yaw = float(yaw)
+
+    def set_param(self, name: str, value) -> bool:
+        self.fcu.params[str(name)] = value
+        return True
 
     @property
     def armed(self) -> bool:
@@ -181,6 +192,13 @@ class MissionControl:
         self._setpoint = np.zeros(3)
         self._setpoint_yaw = 0.0
         self._running = False
+
+        # Pre-flight firmware params: disable the PX4 RC-loss failsafe for
+        # offboard flight, sent 5x like the reference (unacknowledged
+        # param pushes over a lossy link; ``basic_control.py:147-149``).
+        for _ in range(5):
+            self.vehicle.set_param("COM_RCL_EXCEPT", 4)
+
         if auto_spin:
             self.start()
 
@@ -473,9 +491,48 @@ def dispatch(ctl: MissionControl, line: str) -> bool:
     return True
 
 
+def _setup_line_editing(history_file: Optional[str] = None):
+    """Tab completion over the verb set + persistent history (the reference
+    REPL uses prompt_toolkit with a word completer,
+    ``input_command.py:23-30``; stdlib readline provides the same
+    affordances without a dependency). Returns a save-history callable."""
+    try:
+        import atexit
+        import readline
+    except ImportError:  # non-readline platform: plain input still works
+        return lambda: None
+
+    words = sorted(_VERBS + ["help", "quit", "exit"])
+
+    def complete(text, state):
+        matches = [w for w in words if w.startswith(text)]
+        return matches[state] if state < len(matches) else None
+
+    readline.set_completer(complete)
+    readline.parse_and_bind("tab: complete")
+    hist = history_file or os.path.expanduser("~/.sde4mbrl_px4_history")
+    try:
+        readline.read_history_file(hist)
+    except OSError:
+        pass
+    readline.set_history_length(500)
+
+    def save():
+        try:
+            readline.write_history_file(hist)
+        except OSError:
+            pass
+
+    atexit.register(save)
+    return save
+
+
 def repl(ctl: MissionControl, prompt: str = "Enter command >>> ",
-         input_fn: Callable = input):
-    """Blocking operator REPL."""
+         input_fn: Callable = input, line_editing: bool = True):
+    """Blocking operator REPL (tab completion + history when ``input_fn``
+    is the interactive default)."""
+    if line_editing and input_fn is input:
+        _setup_line_editing()
     while True:
         try:
             line = input_fn(prompt)

@@ -323,6 +323,18 @@ class RecedingHorizonController:
         else:
             raise ValueError(f"unknown control state {control_state}")
 
+        # Start device->host streaming of everything _collect will read, so
+        # the eventual fetch is a local copy instead of a synchronous
+        # round trip (measured on the axon tunnel: ~6 ms vs ~90 ms for
+        # block+get after completion).
+        try:
+            for arr in (sol.u_opt, sol.x_evol, used.avg_linesearch,
+                        used.stepsize, used.num_steps, used.grad_sqr,
+                        used.avg_stepsize, used.init_cost, used.opt_cost):
+                arr.copy_to_host_async()
+        except AttributeError:
+            pass
+
         return (sol, used, mode, int(control_state), float(sample_time_usec), t0)
 
     def collect_entry(self, entry: tuple) -> OptMPCStateRecord:

@@ -107,6 +107,10 @@ class FCUSim:
         self.last_cmd: Optional[Tuple] = None
         self.hover_u = plant.model.vehicle.hover_u
         self.n_u = plant.model.n_u
+        # Firmware parameter store (the reference pushes COM_RCL_EXCEPT=4
+        # pre-flight to disable the RC-loss failsafe,
+        # ``basic_control.py:147-149``).
+        self.params: dict = {}
 
     def full_state_msg(self) -> Tuple[np.ndarray, float]:
         """(state13, time_usec) as the FCU would stream it."""

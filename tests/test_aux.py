@@ -112,3 +112,75 @@ def test_trajgen_csv_feeds_native_follower(tmp_path):
         x_j = np.asarray(sft(t))
         np.testing.assert_allclose(pos_c, x_j[:3], atol=1e-5)
         np.testing.assert_allclose(vel_c, x_j[3:6], atol=1e-5)
+
+
+def test_live_monitor_overlay(tmp_path):
+    """tools/analyze.py --live core: rolling buffers + overlay render
+    (PlotJuggler-layout analogue, reference new_analyze_mpc_v3.xml)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from analyze import LiveMonitor
+
+    mon = LiveMonitor(window_s=2.0)
+    assert "waiting" in mon.summary()
+    for k in range(100):
+        t_us = k * 0.02 * 1e6
+        x = np.zeros(13, np.float32)
+        x[10] = 0.1 * np.sin(k * 0.1)
+        mon.ingest_state(t_us, x, motors4=np.full(4, 0.7, np.float32))
+        mon.ingest_cmd(t_us, np.full(6, 0.71, np.float32),
+                       np.array([0.7, 0.1, 0.0, 0.0], np.float32))
+    # window trims to 2 s (100 Hz-ish stream of 2 s total kept)
+    assert mon.ach[-1][0] - mon.ach[0][0] <= 2.0 + 1e-6
+    out = str(tmp_path / "live.png")
+    assert mon.render(out)
+    assert os.path.getsize(out) > 10000
+    assert "rate err" in mon.summary()
+
+
+def test_mission_param_push(repo_root):
+    """MissionControl pushes COM_RCL_EXCEPT=4 five times pre-flight
+    (reference basic_control.py:147-149); SimVehicle lands them in the
+    FCU param store."""
+    import jax
+
+    from sde4mbrl_px4_tpu.cli.mission import MissionControl, SimVehicle, VehicleBase
+    from sde4mbrl_px4_tpu.models.params_io import load_params
+    from sde4mbrl_px4_tpu.models.sde_model import NeuralSDE
+    from sde4mbrl_px4_tpu.models.vehicles import iris_config
+    from sde4mbrl_px4_tpu.sim.plant import FCUSim, SDEPlant
+
+    params, _ = load_params(os.path.join(repo_root, "configs/models/iris_sde.pkl"))
+    plant = SDEPlant(NeuralSDE(vehicle=iris_config()), params, sim_dt=0.01)
+    fcu = FCUSim(plant)
+    veh = SimVehicle(fcu)
+    calls = []
+    orig = veh.set_param
+    veh.set_param = lambda n, v: calls.append((n, v)) or orig(n, v)
+    MissionControl(veh, log=lambda *a: None)
+    assert calls == [("COM_RCL_EXCEPT", 4)] * 5
+    assert fcu.params["COM_RCL_EXCEPT"] == 4
+    # base interface reports unsupported gracefully
+    assert VehicleBase().set_param("X", 1) is False
+
+
+def test_repl_completion():
+    """Verb completion for the mission REPL (reference input_command.py
+    uses a prompt_toolkit WordCompleter; stdlib readline twin)."""
+    readline = pytest.importorskip("readline")
+    from sde4mbrl_px4_tpu.cli.mission import _setup_line_editing
+
+    save = _setup_line_editing(history_file="/tmp/_test_hist")
+    comp = readline.get_completer()
+    got = []
+    k = 0
+    while True:
+        m = comp("controller_", k)
+        if m is None:
+            break
+        got.append(m)
+        k += 1
+    assert "controller_init" in got and "controller_on" in got
+    assert comp("zz", 0) is None
+    save()

@@ -12,22 +12,154 @@ setpoint tracking):
   3. position tracking vs reference + error norm
   4. solver health: solve time, iterations, optimal cost
 
-Usage: python tools/analyze.py flight.npz [-o out.png]
+Usage:
+  python tools/analyze.py flight.npz [-o out.png]        # post-hoc
+  python tools/analyze.py --live 127.0.0.1:14996 [-o f]  # live stream view
+
+Live mode is the PlotJuggler-attached-to-the-router analogue
+(``launch/new_analyze_mpc_v3.xml`` overlays, SURVEY.md §2.14): it binds a
+UDP MAVLink endpoint on the router fan-out, ingests ``MPC_FULL_STATE``
+(achieved state + m1..m4) and ``MPC_MOTORS_CMD`` (commanded motors +
+thrust/rates), and re-renders the commanded-vs-achieved overlay once per
+second (PNG; terminal one-liner with the rolling tracking/rate errors).
 """
 import argparse
 import os
 import sys
+import time
+from collections import deque
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
+class LiveMonitor:
+    """Rolling commanded-vs-achieved buffers + overlay rendering.
+
+    Decoupled from the UDP loop so tests can feed messages directly
+    (``tests/test_aux.py``).
+    """
+
+    def __init__(self, window_s: float = 10.0, max_len: int = 4096):
+        self.window_s = window_s
+        self.ach = deque(maxlen=max_len)   # (t, state13, m1..m4)
+        self.cmd = deque(maxlen=max_len)   # (t, motors6, thrust_rates4)
+
+    def ingest_state(self, t_usec: float, state13, motors4=None):
+        self.ach.append((t_usec / 1e6, np.asarray(state13, np.float32),
+                         None if motors4 is None else np.asarray(motors4, np.float32)))
+        self._trim()
+
+    def ingest_cmd(self, t_usec: float, motors6, thrust_rates4):
+        self.cmd.append((t_usec / 1e6, np.asarray(motors6, np.float32),
+                         np.asarray(thrust_rates4, np.float32)))
+        self._trim()
+
+    def _trim(self):
+        for buf in (self.ach, self.cmd):
+            if buf:
+                t_now = buf[-1][0]
+                while buf and t_now - buf[0][0] > self.window_s:
+                    buf.popleft()
+
+    def summary(self) -> str:
+        if not self.ach or not self.cmd:
+            return "live: waiting for stream..."
+        t, x, _ = self.ach[-1]
+        _, _, wr = self.cmd[-1]
+        rate_err = np.abs(x[10:13] - wr[1:4]).max()
+        return (f"t={t:8.2f}s  pos=({x[0]:+.2f},{x[1]:+.2f},{x[2]:+.2f})  "
+                f"|rate err|max={rate_err:5.3f} rad/s  "
+                f"({len(self.ach)} states / {len(self.cmd)} cmds in window)")
+
+    def render(self, out_png: str) -> bool:
+        """Overlay plot: commanded vs achieved motors and body rates."""
+        if not self.ach or not self.cmd:
+            return False
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ta = np.array([r[0] for r in self.ach])
+        xs = np.stack([r[1] for r in self.ach])
+        tc = np.array([r[0] for r in self.cmd])
+        mo = np.stack([r[1] for r in self.cmd])
+        wr = np.stack([r[2] for r in self.cmd])
+        mach = (np.stack([r[2] for r in self.ach])
+                if self.ach[-1][2] is not None else None)
+
+        fig, axes = plt.subplots(2, 1, figsize=(11, 7), sharex=True)
+        ax = axes[0]
+        for i in range(mo.shape[1]):
+            if np.any(mo[:, i] != 0):
+                ax.plot(tc, mo[:, i], lw=0.9, label=f"m{i+1} cmd")
+        if mach is not None:
+            for i in range(mach.shape[1]):
+                ax.plot(ta, mach[:, i], lw=0.8, ls="--", label=f"m{i+1} achieved")
+        ax.set_ylabel("motor [0..1]")
+        ax.legend(ncol=6, fontsize=7)
+        ax.set_title("mpc_motors_cmd vs actuator readings (live)")
+
+        ax = axes[1]
+        for i, nm in enumerate(("wx", "wy", "wz")):
+            ax.plot(tc, wr[:, 1 + i], lw=0.9, label=f"{nm} cmd")
+            ax.plot(ta, xs[:, 10 + i], lw=0.8, ls="--", label=f"{nm} achieved")
+        ax.set_ylabel("body rate [rad/s]")
+        ax.set_xlabel("t [s]")
+        ax.legend(ncol=3, fontsize=7)
+        ax.set_title("commanded vs achieved body rates (live)")
+
+        fig.tight_layout()
+        fig.savefig(out_png, dpi=100)
+        plt.close(fig)
+        return True
+
+
+def live_main(addr: str, out_png: str, refresh_s: float = 1.0,
+              duration_s: float = 0.0):
+    from sde4mbrl_px4_tpu.io.mavlink import MavlinkUDP
+
+    link = MavlinkUDP(addr, mode="udpin")
+    mon = LiveMonitor()
+    t_start = time.time()
+    t_render = 0.0
+    print(f"live view on {addr}; rendering to {out_png} every {refresh_s}s",
+          flush=True)
+    while not duration_s or time.time() - t_start < duration_s:
+        msg = link.recv_match(timeout=0.1)
+        if msg is not None:
+            if msg.get_type() == "MPC_FULL_STATE":
+                mon.ingest_state(msg.time_usec, msg.state, msg.motors)
+            elif msg.get_type() == "MPC_MOTORS_CMD":
+                mon.ingest_cmd(msg.time_usec, msg.motor_val_des,
+                               msg.thrust_and_angrate_des)
+        if time.time() - t_render >= refresh_s:
+            t_render = time.time()
+            if mon.render(out_png):
+                print(mon.summary(), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("log")
+    ap.add_argument("log", nargs="?", default=None,
+                    help=".npz flight log (post-hoc mode)")
+    ap.add_argument("--live", default=None, metavar="HOST:PORT",
+                    help="bind a UDP MAVLink endpoint and stream the "
+                         "commanded-vs-achieved overlay live")
+    ap.add_argument("--refresh", type=float, default=1.0)
+    ap.add_argument("--duration", type=float, default=0.0,
+                    help="live mode: stop after N seconds (0 = forever)")
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args()
+
+    if args.live:
+        live_main(args.live, args.out or "live_view.png",
+                  refresh_s=args.refresh, duration_s=args.duration)
+        return
+    if not args.log:
+        ap.error("need a flight log path (or --live HOST:PORT)")
 
     import matplotlib
 
