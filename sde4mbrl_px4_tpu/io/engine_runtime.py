@@ -348,7 +348,9 @@ class SDEControlNode:
                         )
                         resp = {"ok": ok, "msg": msg}
                     elif cmd == "status":
-                        resp = {"ok": True, "record": self.last_record.to_dict()}
+                        resp = {"ok": True, "record": self.last_record.to_dict(),
+                                "overruns": self.overrun_count,
+                                "inflight": self._inflight}
                     else:
                         resp = {"ok": False, "msg": f"unknown cmd {cmd!r}"}
                 except Exception as e:  # noqa: BLE001 — keep the service alive
