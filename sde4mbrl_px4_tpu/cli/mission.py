@@ -491,11 +491,17 @@ def dispatch(ctl: MissionControl, line: str) -> bool:
     return True
 
 
+_LINE_EDITING_READY = False
+
+
 def _setup_line_editing(history_file: Optional[str] = None):
     """Tab completion over the verb set + persistent history (the reference
     REPL uses prompt_toolkit with a word completer,
     ``input_command.py:23-30``; stdlib readline provides the same
-    affordances without a dependency). Returns a save-history callable."""
+    affordances without a dependency). Returns a save-history callable.
+    The atexit save handler registers once per process (repeat REPL
+    sessions would otherwise stack duplicate handlers)."""
+    global _LINE_EDITING_READY
     try:
         import atexit
         import readline
@@ -523,7 +529,9 @@ def _setup_line_editing(history_file: Optional[str] = None):
         except OSError:
             pass
 
-    atexit.register(save)
+    if not _LINE_EDITING_READY:
+        _LINE_EDITING_READY = True
+        atexit.register(save)
     return save
 
 

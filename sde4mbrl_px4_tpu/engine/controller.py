@@ -42,9 +42,36 @@ from sde4mbrl_px4_tpu.core.types import (
 from sde4mbrl_px4_tpu.engine.mpc_loader import load_mpc_from_cfgfile
 from sde4mbrl_px4_tpu.engine.telemetry import OptMPCStateRecord
 
-__all__ = ["ControlAutomata", "RecedingHorizonController", "CompiledMPC"]
+__all__ = ["ControlAutomata", "RecedingHorizonController", "CompiledMPC",
+           "OverrunMeter"]
 
 _LOG = logging.getLogger("sde4mbrl_px4_tpu.engine")
+
+
+class OverrunMeter:
+    """Counts plan-horizon overruns and logs them rate-limited.
+
+    An overrun means the pickup index ran past the planning horizon — the
+    solver missed real time. The reference clamps AND ``logerr``s
+    (``sde_control.py:294-298``); this meter gives both pickup paths one
+    shared implementation.
+    """
+
+    def __init__(self, log_period_s: float = 1.0):
+        self.count = 0
+        self._last_log = 0.0
+        self._period = log_period_s
+
+    def record(self, idx: int, horizon: int, plan_age_ms: float) -> None:
+        self.count += 1
+        now = time.time()  # wall clock (engine clocks may be sim time)
+        if now - self._last_log > self._period:
+            self._last_log = now
+            _LOG.error(
+                "plan horizon overrun: pickup index %d > %d (plan age "
+                "%.0f ms; solver missed real time; %d total)",
+                idx, horizon - 1, plan_age_ms, self.count,
+            )
 
 
 @dataclass
@@ -231,8 +258,7 @@ class RecedingHorizonController:
         self.plan_sample_time_usec = -1.0
         self.plan_is_traj = False
         self.last_record = OptMPCStateRecord()
-        self.overrun_count = 0
-        self._last_overrun_log = 0.0
+        self.overruns = OverrunMeter()
 
         self._curr_ctrl: Optional[str] = None
         self._idle_traj = False
@@ -394,17 +420,10 @@ class RecedingHorizonController:
         active = self.traj if self.plan_is_traj else self.pos
         idx = int((sample_time_usec - self.plan_sample_time_usec) / active.dt_usec)
         if idx > active.horizon - 1:
-            self.overrun_count += 1
-            now = time.time()
-            if now - self._last_overrun_log > 1.0:  # rate-limited
-                self._last_overrun_log = now
-                _LOG.error(
-                    "plan horizon overrun: pickup index %d > %d (plan age "
-                    "%.0f ms; solver missed real time; %d total)",
-                    idx, active.horizon - 1,
-                    (sample_time_usec - self.plan_sample_time_usec) / 1e3,
-                    self.overrun_count,
-                )
+            self.overruns.record(
+                idx, active.horizon,
+                (sample_time_usec - self.plan_sample_time_usec) / 1e3,
+            )
         idx = max(0, min(idx, active.horizon - 1))
         u = self.u_plan[idx, : active.n_u]
         if u.shape[0] < 6:

@@ -198,12 +198,13 @@ def make_mpc_from_config(
     # the fused Mosaic kernels win for small P (op-issue-latency bound:
     # 11 ms vs ~350 ms per solve at P=1); beyond P~128 the XLA path wins —
     # its (P, feat) matmuls amortize op overhead and pipeline better than
-    # the kernels' serialized chunk loops (P=1024: XLA ~0.5 ms/iter vs
+    # the kernels' serialized chunk loops (P=1024: XLA ~1.5 ms/iter bf16 vs
     # chunked kernel ~4.4 ms/iter), and unchunked kernels exceed the 16 MB
-    # scoped-VMEM limit (~40 MB wanted). In-kernel chunking (bodies.py,
-    # ``chunk``) remains available for mid-size P.
-    pallas_chunk = 0
-    if use_pallas and num_particles > 128:
+    # scoped-VMEM limit (~40 MB wanted). The ``pallas_chunk`` config key
+    # forces the in-kernel chunked fused path instead (mid-size P; must
+    # divide num_particles).
+    pallas_chunk = int(cfg.get("pallas_chunk", 0))
+    if use_pallas and num_particles > 128 and not pallas_chunk:
         use_pallas = False
     # Whole-solve mega-kernel (opt-out via SDE4MBRL_MEGA=0).
     use_mega = bool(use_pallas) and os.environ.get("SDE4MBRL_MEGA", "1") not in (

@@ -39,7 +39,7 @@ import numpy as np
 _LOG = logging.getLogger("sde4mbrl_px4_tpu.engine")
 
 from sde4mbrl_px4_tpu.core.types import CONTROL_STATES
-from sde4mbrl_px4_tpu.engine.controller import RecedingHorizonController
+from sde4mbrl_px4_tpu.engine.controller import OverrunMeter, RecedingHorizonController
 from sde4mbrl_px4_tpu.engine.telemetry import OptMPCStateRecord
 from sde4mbrl_px4_tpu.io.mailbox import Mailbox, native_available
 
@@ -82,6 +82,7 @@ class SDEControlNode:
         self.pipeline = pipeline
         self.max_inflight = int(os.environ.get("SDE4MBRL_MAX_INFLIGHT", "1"))
         self._inflight = 0
+        self._inflight_lock = threading.Lock()
         self.now_fn = now_fn
         self.cmd_sink = cmd_sink      # callable(motors6, thrust_rates4, mpc_on, weight)
         self.max_h = max(self.ctrl.traj.horizon, self.ctrl.pos.horizon)
@@ -100,8 +101,7 @@ class SDEControlNode:
         self.dt_state_info = 0.0
         self._last_state_time: Optional[float] = None
         self._last_index = 0
-        self.overrun_count = 0
-        self._last_overrun_log = 0.0
+        self.overruns = OverrunMeter()
         self.mav = None
 
     # ------------------------------------------------------------- lifecycle
@@ -177,16 +177,8 @@ class SDEControlNode:
         if idx > active.horizon - 1:
             # Overrun = the solver missed real time; clamp AND surface it
             # (reference clamps + logerr, sde_control.py:294-298).
-            self.overrun_count += 1
-            wall = time.time()  # rate-limit on wall clock (now_fn may be sim time)
-            if wall - self._last_overrun_log > 1.0:
-                self._last_overrun_log = wall
-                _LOG.error(
-                    "plan horizon overrun: pickup index %d > %d (plan age "
-                    "%.0f ms, %d total)", idx, active.horizon - 1,
-                    (sample_time_usec - plan_sample_t) / 1e3,
-                    self.overrun_count,
-                )
+            self.overruns.record(idx, active.horizon,
+                                 (sample_time_usec - plan_sample_t) / 1e3)
         idx = max(0, min(idx, active.horizon - 1))
         self._last_index = idx
         u_flat = out[_STATS + 1 : _STATS + 1 + self.max_h * 6]
@@ -256,7 +248,8 @@ class SDEControlNode:
                 entry = self.ctrl.solve_async(
                     x, control_state, trajec_time, target, sample_t
                 )
-                self._inflight += 1
+                with self._inflight_lock:
+                    self._inflight += 1
                 self._solve_q.put(entry)
             else:
                 record = self.ctrl.solve_once(
@@ -275,9 +268,16 @@ class SDEControlNode:
             entry = self._solve_q.get()
             if entry is None:
                 return
-            record = self.ctrl.collect_entry(entry)
-            self._post_plan(record)
-            self._inflight -= 1
+            try:
+                record = self.ctrl.collect_entry(entry)
+                self._post_plan(record)
+            except Exception:  # noqa: BLE001 — a failed collect must not
+                # kill the collector: the dispatch loop would then saturate
+                # on _inflight and silently drop every future solve.
+                _LOG.exception("solve collection failed; plan not published")
+            finally:
+                with self._inflight_lock:
+                    self._inflight -= 1
 
     def _post_plan(self, record: OptMPCStateRecord) -> None:
         max_h = self.max_h
@@ -349,7 +349,7 @@ class SDEControlNode:
                         resp = {"ok": ok, "msg": msg}
                     elif cmd == "status":
                         resp = {"ok": True, "record": self.last_record.to_dict(),
-                                "overruns": self.overrun_count,
+                                "overruns": self.overruns.count,
                                 "inflight": self._inflight}
                     else:
                         resp = {"ok": False, "msg": f"unknown cmd {cmd!r}"}

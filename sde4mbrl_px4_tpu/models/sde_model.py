@@ -50,12 +50,22 @@ def resolve_precision(name) -> jax.lax.Precision:
     """
     if isinstance(name, jax.lax.Precision):
         return name
-    return {
+    table = {
         None: jax.lax.Precision.HIGHEST,
         "highest": jax.lax.Precision.HIGHEST,
+        "float32": jax.lax.Precision.HIGHEST,
         "default": jax.lax.Precision.DEFAULT,
         "bf16": jax.lax.Precision.DEFAULT,
-    }[name if name is None else str(name).lower()]
+        "bfloat16": jax.lax.Precision.DEFAULT,
+    }
+    key = name if name is None else str(name).lower()
+    if key not in table:
+        raise ValueError(
+            f"matmul_precision {name!r} not recognized; use one of "
+            "highest/float32 (f32 multi-pass) or default/bf16/bfloat16 "
+            "(bf16-input MXU path)"
+        )
+    return table[key]
 # Diffusion acts on velocity-like states only: v (3) + omega (3).
 _DIFF_DIM = 6
 _FEAT_DIM_BASE = 10  # v(3) + omega(3) + R_z row(3) + 1 spare for padding alignment

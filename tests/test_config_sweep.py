@@ -60,3 +60,33 @@ def test_sitl_pair_differs_from_real_hexa(repo_root):
     real = load_yaml_config(os.path.join(repo_root, "configs", "hexa_traj_mpc.yaml"))
     assert sitl["cost_params"]["uref"][0] == pytest.approx(0.42)
     assert real["cost_params"]["uref"][0] == pytest.approx(0.33)
+
+
+def test_matmul_precision_validation():
+    from sde4mbrl_px4_tpu.models.sde_model import resolve_precision
+    import jax
+
+    assert resolve_precision("bf16") == jax.lax.Precision.DEFAULT
+    assert resolve_precision("float32") == jax.lax.Precision.HIGHEST
+    with pytest.raises(ValueError, match="matmul_precision"):
+        resolve_precision("fp8")
+
+
+def test_pallas_chunk_config_key(repo_root):
+    """pallas_chunk forces the chunked fused path for large P (interpret
+    mode here; the on-chip trade is documented in engine/mpc_loader.py)."""
+    cfg = load_yaml_config(os.path.join(repo_root, "configs", "iris_posctrl_mpc.yaml"))
+    cfg["num_particles"] = 8
+    cfg["pallas_chunk"] = 4
+    cfg["apg_mpc"]["max_iter"] = 2
+    cfg["apg_mpc"]["max_no_improvement_iter"] = 2
+    cfg, fns, sft, b = make_mpc_from_config(dict(cfg), use_pallas="interpret")
+    reset_fn, mpc_fn = fns
+    import jax
+    from sde4mbrl_px4_tpu.core.types import hover_state
+
+    x = jax.numpy.asarray(hover_state())
+    rng = jax.random.PRNGKey(0)
+    st = reset_fn(x, rng, x)
+    u, st2, rng2, xe = mpc_fn(x, rng, st, 0.0, x)
+    assert np.isfinite(np.asarray(u)).all()
