@@ -24,32 +24,66 @@ def _pack(t, p, v, a, yaw) -> np.ndarray:
     return np.concatenate([t[:, None], p, v, a, yaw[:, None]], axis=1)
 
 
+def _time_warp(t: np.ndarray, ramp: float):
+    """Smooth from-rest time warp: phase runs on tau(t) whose rate
+    smoothsteps 0 -> 1 over ``ramp`` seconds (tau = t - ramp/2 after).
+
+    Returns (tau, dtau, ddtau) — exact derivatives so warped trajectories
+    keep analytic velocity/acceleration columns. ramp=0 is the identity
+    (the reference's offline CSVs start at full speed; a ramp makes the
+    trajectory flyable from hover without a catch-up maneuver).
+    """
+    if ramp <= 0.0:
+        one = np.ones_like(t)
+        return t, one, np.zeros_like(t)
+    u = np.clip(t / ramp, 0.0, 1.0)
+    s = 3 * u * u - 2 * u ** 3                       # smoothstep rate
+    ds = (6 * u - 6 * u * u) / ramp                  # d(rate)/dt
+    tau_ramp = ramp * (u ** 3 - 0.5 * u ** 4)        # integral of the rate
+    tau = np.where(t < ramp, tau_ramp, t - 0.5 * ramp)
+    return tau, s, ds
+
+
 def circle_trajectory(radius: float = 1.0, period: float = 6.0, z: float = 1.5,
                       n_laps: float = 2.0, dt: float = 0.02,
-                      yaw_follow: bool = True) -> np.ndarray:
-    """ENU circle at constant altitude, exact derivatives."""
+                      yaw_follow: bool = True, ramp: float = 0.0) -> np.ndarray:
+    """ENU circle at constant altitude, exact derivatives; ``ramp`` seconds
+    of smooth from-rest spin-up (see :func:`_time_warp`)."""
     t = np.arange(0.0, n_laps * period + dt, dt)
     w = 2 * np.pi / period
-    c, s = np.cos(w * t), np.sin(w * t)
+    tau, dtau, ddtau = _time_warp(t, ramp)
+    th = w * tau
+    thd = w * dtau
+    thdd = w * ddtau
+    c, s = np.cos(th), np.sin(th)
     p = np.stack([radius * c, radius * s, np.full_like(t, z)], 1)
-    v = np.stack([-radius * w * s, radius * w * c, np.zeros_like(t)], 1)
-    a = np.stack([-radius * w * w * c, -radius * w * w * s, np.zeros_like(t)], 1)
+    v = np.stack([-radius * s * thd, radius * c * thd, np.zeros_like(t)], 1)
+    a = np.stack(
+        [-radius * (c * thd * thd + s * thdd),
+         radius * (-s * thd * thd + c * thdd), np.zeros_like(t)], 1)
     yaw = np.arctan2(v[:, 1], v[:, 0]) if yaw_follow else np.zeros_like(t)
     return _pack(t, p, v, a, yaw)
 
 
 def lemniscate_trajectory(scale: float = 1.5, period: float = 8.0, z: float = 1.5,
-                          n_laps: float = 2.0, dt: float = 0.02) -> np.ndarray:
-    """Figure-eight (Gerono lemniscate) in ENU: x = A sin(wt), y = A sin(wt)cos(wt)."""
+                          n_laps: float = 2.0, dt: float = 0.02,
+                          ramp: float = 0.0) -> np.ndarray:
+    """Figure-eight (Gerono lemniscate) in ENU: x = A sin(th), y = A sin(th)cos(th);
+    ``ramp`` seconds of smooth from-rest spin-up."""
     t = np.arange(0.0, n_laps * period + dt, dt)
     w = 2 * np.pi / period
-    s, c = np.sin(w * t), np.cos(w * t)
+    tau, dtau, ddtau = _time_warp(t, ramp)
+    th = w * tau
+    thd = w * dtau
+    thdd = w * ddtau
+    s, c = np.sin(th), np.cos(th)
     x = scale * s
     y = scale * s * c
-    vx = scale * w * c
-    vy = scale * w * (c * c - s * s)
-    ax = -scale * w * w * s
-    ay = -4 * scale * w * w * s * c
+    # d/dth: x' = A c ; y' = A (c^2 - s^2) ; x'' = -A s ; y'' = -4 A s c
+    vx = scale * c * thd
+    vy = scale * (c * c - s * s) * thd
+    ax = -scale * s * thd * thd + scale * c * thdd
+    ay = -4 * scale * s * c * thd * thd + scale * (c * c - s * s) * thdd
     p = np.stack([x, y, np.full_like(t, z)], 1)
     v = np.stack([vx, vy, np.zeros_like(t)], 1)
     a = np.stack([ax, ay, np.zeros_like(t)], 1)

@@ -1,0 +1,119 @@
+"""Fleet serving engine (L6): many vehicles, one accelerator.
+
+The reference controls ONE vehicle per process (`sde_control.py`); the
+TPU-native scale-out is a fleet: B vehicles' receding-horizon solves run as
+one dp-sharded batched program per control tick (`parallel/batched.py`),
+with warm starts, RNG streams and plan buffers device-resident across
+ticks (donated, no HBM churn) and the same pipelined dispatch pattern as
+the single-vehicle engine (`engine/controller.py`): dispatch tick k,
+stream tick k-1's plans host-ward in the background, collect them without
+a synchronous device round trip.
+
+Measured scale (v5e, one chip, iris posctrl, 50-iteration solves):
+~12k solves/s/chip at B=256 — a 20 Hz control tick serves ~600 vehicles
+per chip at that iteration budget (`bench.py` batched throughput).
+
+Multi-host: pass a process-spanning mesh (``parallel.distributed``) and
+per-process state slices via ``jax.make_array_from_process_local_data`` —
+the dp axis shards across hosts with no steady-state communication.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sde4mbrl_px4_tpu.parallel.batched import make_batched_mpc
+
+__all__ = ["FleetEngine"]
+
+
+class FleetEngine:
+    """Batched receding-horizon serving over a device mesh.
+
+    ``step(states, targets, curr_ts)`` solves all B scenarios and returns
+    the PREVIOUS tick's plans (pipelined; first tick returns its own —
+    cold start). All inputs are host numpy in the solver's NED frame
+    (``targets`` follow the config's ``convert_to_enu`` convention exactly
+    like the single-vehicle ``mpc_fn``).
+    """
+
+    def __init__(self, cfg: Dict[str, Any], mesh: Mesh, batch: int,
+                 seed: int = 0, convert_to_enu: bool = True,
+                 pipeline: bool = True):
+        if batch % mesh.shape["dp"] != 0:
+            raise ValueError(
+                f"batch {batch} must divide over the dp axis ({mesh.shape['dp']})"
+            )
+        self.mesh = mesh
+        self.B = int(batch)
+        self.pipeline = pipeline
+        self.reset_b, self.mpc_b, self.bundle = make_batched_mpc(
+            dict(cfg), mesh, convert_to_enu=convert_to_enu
+        )
+        self.H = int(self.bundle.time_steps.shape[0])
+        self.n_u = self.bundle.model.n_u
+        self.dt = float(self.bundle.time_steps[0])
+
+        self._sh2 = NamedSharding(mesh, P("dp", None))
+        self._sh1 = NamedSharding(mesh, P("dp"))
+        self.rngs = jax.device_put(
+            jax.random.split(jax.random.PRNGKey(seed), self.B), self._sh2
+        )
+        self._opt = None       # device-resident warm starts (donated)
+        self._pending = None   # (sol, t_dispatch) awaiting collection
+
+    # ------------------------------------------------------------------ api
+
+    def reset(self, states: np.ndarray) -> None:
+        """(Re)initialize all warm starts from the fleet states."""
+        xs = jax.device_put(np.asarray(states, np.float32), self._sh2)
+        self._opt = self.reset_b(xs, self.rngs, xs)
+        self._pending = None
+
+    def step(self, states: np.ndarray, targets: np.ndarray,
+             curr_ts: Optional[np.ndarray] = None,
+             ) -> Tuple[np.ndarray, np.ndarray, float]:
+        """One fleet control tick.
+
+        Args:
+            states: (B, 13) vehicle states (solver frame, NED).
+            targets: (B, 13) per-vehicle target states.
+            curr_ts: (B,) per-vehicle positions on the reference trajectory
+                (trajectory configs; zeros otherwise).
+
+        Returns ``(u_first (B, n_u), x_evol (B, H+1, 13), age_s)`` — the
+        first-step controls and predicted trajectories of the newest
+        COLLECTED plans, and their age (0.0 on the cold start / blocking
+        path, ~one tick when pipelined).
+        """
+        if self._opt is None:
+            self.reset(states)
+        xs = jax.device_put(np.asarray(states, np.float32), self._sh2)
+        xdes = jax.device_put(np.asarray(targets, np.float32), self._sh2)
+        ts = jax.device_put(
+            np.zeros(self.B, np.float32) if curr_ts is None
+            else np.asarray(curr_ts, np.float32), self._sh1)
+
+        sol = self.mpc_b(xs, self.rngs, self._opt, ts, xdes)
+        self.rngs, self._opt = sol.rng, sol.opt_state
+        try:
+            sol.u_opt.copy_to_host_async()
+            sol.x_evol.copy_to_host_async()
+        except AttributeError:
+            pass
+
+        now = time.perf_counter()
+        if self.pipeline and self._pending is not None:
+            prev, t_prev = self._pending
+            self._pending = (sol, now)
+            sol, age = prev, now - t_prev
+        else:
+            self._pending = (sol, now) if self.pipeline else None
+            age = 0.0
+        u, x_evol = jax.device_get((sol.u_opt, sol.x_evol))
+        return np.asarray(u)[:, 0, :], np.asarray(x_evol), age

@@ -114,3 +114,21 @@ def test_yaw_rate_prior():
     )
     table = parse_trajectory_csv(text, convert_to_ned=False)
     np.testing.assert_allclose(np.asarray(table.states[:, 12]), 2.0, atol=1e-4)
+
+
+def test_ramped_trajectories_start_at_rest():
+    """ramp > 0: zero initial velocity, full speed after the ramp, and the
+    velocity columns stay consistent with the position columns."""
+    for gen in (circle_trajectory, lemniscate_trajectory):
+        rows = gen(dt=0.001, ramp=1.5)
+        t, p, v = rows[:, 0], rows[:, 1:4], rows[:, 4:7]
+        assert np.linalg.norm(v[0]) < 1e-9
+        # numeric derivative of position matches the analytic velocity
+        v_num = np.gradient(p, t, axis=0)
+        np.testing.assert_allclose(v_num[5:-5], v[5:-5], atol=5e-3)
+        # Post-ramp the warp is a pure time shift tau = t - ramp/2: the
+        # ramped sample at t=2.0 matches the unramped one at t=1.25.
+        plain = gen(dt=0.001)
+        i_r, i_p = int(2.0 / 0.001), int(1.25 / 0.001)
+        np.testing.assert_allclose(v[i_r], plain[i_p, 4:7], atol=1e-6)
+        np.testing.assert_allclose(rows[i_r, 1:4], plain[i_p, 1:4], atol=1e-6)
