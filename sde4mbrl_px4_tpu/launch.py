@@ -149,6 +149,30 @@ def launch_geometric(cfg: Dict[str, Any]):
         pass
 
 
+def launch_router(cfg: Dict[str, Any]):
+    """Start the MAVLink fan-out router (the reference's ``px4_sitl.launch``
+    + ``sitl_route_mavlink.sh`` transport bring-up, SURVEY.md §2.8): a conf
+    file in the mavlink-router dialect defines the endpoints/filters."""
+    from sde4mbrl_px4_tpu.io.router import Router, parse_conf
+
+    conf = cfg["conf"]
+    if not os.path.isabs(conf):
+        cand = [os.path.abspath(conf), os.path.join(cfg["_dir"], conf)]
+        conf = next((c for c in cand if os.path.isfile(c)), cand[0])
+    with open(conf) as f:
+        endpoints = parse_conf(f.read())
+    router = Router(endpoints)
+    router.start()
+    print(f"[launch] router fanning out {len(endpoints)} endpoints "
+          f"({', '.join(e.name for e in endpoints)})", flush=True)
+    print("[launch] READY", flush=True)
+    try:
+        while True:
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        router.stop()
+
+
 def launch_from_file(path: str, repl: bool = False):
     cfg = _load(path)
     node_type = cfg.get("node", "sde_control")
@@ -156,6 +180,8 @@ def launch_from_file(path: str, repl: bool = False):
         return launch_sde_control(cfg, repl=repl)
     if node_type == "geometric_controller":
         return launch_geometric(cfg)
+    if node_type == "router":
+        return launch_router(cfg)
     raise ValueError(f"unknown node type {node_type!r}")
 
 

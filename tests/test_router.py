@@ -1,5 +1,6 @@
 """Router tests: conf parsing and id-filtered fan-out (reference
 scripts/router_sitl.conf topology)."""
+import os
 import socket
 import time
 
@@ -145,3 +146,19 @@ def test_mpc_inbound_filter_drops_wrong_ids(topology):
     with pytest.raises(socket.timeout):
         fcu_client.recvfrom(512)
     fcu_client.close()
+
+
+def test_launch_router_conf_parses(repo_root):
+    """The shipped SITL router conf + launch tier: endpoints and filters
+    match the reference topology (full stream to telemetry, 367/368-only
+    to the MPC endpoint, live tap)."""
+    from sde4mbrl_px4_tpu.io.router import parse_conf
+
+    with open(os.path.join(repo_root, "configs/router_sitl.conf")) as f:
+        eps = parse_conf(f.read())
+    by_name = {e.name: e for e in eps}
+    assert set(by_name) == {"fcu", "telemetry", "mpc", "liveview"}
+    assert by_name["mpc"].allow_out == {367}
+    assert by_name["mpc"].allow_in == {368}
+    assert by_name["telemetry"].allow_out is None
+    assert by_name["liveview"].allow_out == {367, 368}
