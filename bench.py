@@ -51,17 +51,20 @@ def main():
     dt = float(cfg["_time_steps"][0])
 
     rng = jax.random.PRNGKey(0)
-    x = enu2ned(state_from_traj(0.0))  # ENU ref -> NED state
+    # Start past the trajectory's from-rest ramp (trajs ship with a 1.5 s
+    # spin-up): the benchmark workload is the STEADY receding-horizon loop.
+    T0 = 3.0
+    x = enu2ned(state_from_traj(T0))  # ENU ref -> NED state
     st = reset_fn(x, rng, x)
 
     jm = jax.jit(mpc_fn)
-    sol = jm(x, rng, st, jnp.float32(0.0), x)
+    sol = jm(x, rng, st, jnp.float32(T0), x)
     jax.block_until_ready(sol.u_opt)
     _log(f"compile+warm: {time.time()-t0:.1f}s")
 
     # Warm-started closed-loop sequence (plant = predicted next state).
     n_warm, n_meas = 10, 60
-    t = 0.0
+    t = T0
     lat = []
     for k in range(n_warm + n_meas):
         t1 = time.perf_counter()
@@ -84,7 +87,8 @@ def main():
     # engine/controller.py): dispatch solve k asynchronously, collect the
     # already-finished solve k-1 — per-call wall time is dispatch+transfer,
     # plan staleness <= 1 control period (absorbed by time-indexed pickup).
-    pipe_stats = _bench_pipelined(jm, reset_fn, state_from_traj, dt, _log)
+    pipe_stats = _bench_pipelined(jm, reset_fn, state_from_traj, dt, _log,
+                                  t_start=T0)
 
     # -- on-device chip rate (the BASELINE.json metric: solves/s/chip). The
     # per-call rate above includes the dev harness's ~9 ms tunnel dispatch
@@ -132,7 +136,7 @@ def main():
 
 
 def _bench_pipelined(jm, reset_fn, state_from_traj, dt, _log,
-                     n_warm=10, n_meas=60):
+                     n_warm=10, n_meas=60, t_start=0.0):
     """Per-call latency of the pipelined dispatch pattern (dispatch k,
     collect k-1). State feedback is host-side like the real engine (the
     plant state arrives over MAVLink); opt_state/rng stay device-resident."""
@@ -141,11 +145,11 @@ def _bench_pipelined(jm, reset_fn, state_from_traj, dt, _log,
     from sde4mbrl_px4_tpu.core.frames import enu2ned
 
     try:
-        x_host = np.asarray(enu2ned(state_from_traj(0.0)))
+        x_host = np.asarray(enu2ned(state_from_traj(t_start)))
         rng = jax.random.PRNGKey(1)
         st = reset_fn(jnp.asarray(x_host), rng, jnp.asarray(x_host))
         prev = None
-        t = 0.0
+        t = t_start
         lat = []
         for k in range(n_warm + n_meas):
             t1 = time.perf_counter()
@@ -199,7 +203,8 @@ def _achieved_gflops(cfg, steps_per_solve, solves_per_sec):
     return per_iter * steps_per_solve * solves_per_sec / 1e9
 
 
-def _bench_chained(here, _log, cfg, mpc_fn, reset_fn, state_from_traj, K=10):
+def _bench_chained(here, _log, cfg, mpc_fn, reset_fn, state_from_traj, K=10,
+                   t_start=3.0):
     """On-device sequential solve rate: K receding-horizon solves chained in
     ONE jitted program (lax.scan with state feedback), amortizing the
     host-dispatch floor (~9 ms/call through the axon dev tunnel; ~0.1 ms on
@@ -209,7 +214,7 @@ def _bench_chained(here, _log, cfg, mpc_fn, reset_fn, state_from_traj, K=10):
     from sde4mbrl_px4_tpu.core.frames import enu2ned
 
     dt = float(cfg["_time_steps"][0])
-    x0 = enu2ned(state_from_traj(0.0))
+    x0 = enu2ned(state_from_traj(t_start))
     rng = jax.random.PRNGKey(0)
     st0 = reset_fn(x0, rng, x0)
 
@@ -225,11 +230,11 @@ def _bench_chained(here, _log, cfg, mpc_fn, reset_fn, state_from_traj, K=10):
         return xf, rngf, stf, us
 
     jc = jax.jit(chain)
-    xf, rngf, stf, us = jc(x0, rng, st0, jnp.float32(0.0))
+    xf, rngf, stf, us = jc(x0, rng, st0, jnp.float32(t_start))
     jax.block_until_ready(us)
     t0 = time.perf_counter()
     n = 5
-    t = 0.0
+    t = t_start
     for _ in range(n):
         xf, rngf, stf, us = jc(xf, rngf, stf, jnp.float32(t))
         t += K * dt

@@ -15,13 +15,26 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import subprocess
+
 import numpy as np
 import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Build the native runtime library if absent (it is intentionally not
+# tracked in git) so the C++ parity/runtime tests run instead of skipping.
+if not os.path.exists(os.path.join(_ROOT, "csrc", "libmpc_native.so")):
+    try:
+        subprocess.run(["make", "-C", os.path.join(_ROOT, "csrc")],
+                       check=False, capture_output=True, timeout=120)
+    except Exception:
+        pass  # tests that need it will skip with a clear reason
 
 
 @pytest.fixture(scope="session")
 def repo_root():
-    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return _ROOT
 
 
 @pytest.fixture(scope="session")
