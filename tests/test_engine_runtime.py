@@ -181,3 +181,39 @@ def test_pipelined_controller_matches_sync_shifted(repo_root, tmp_path):
                                        rtol=1e-6, atol=1e-7)
     # plan staleness never exceeds one control period
     assert stamps[-1] - pipe.plan_sample_time_usec == pytest.approx(5e4)
+
+
+def test_collector_survives_failed_collect(node):
+    """A failing collect must not kill the collector or leak in-flight
+    slots (a dead collector would silently drop every future solve)."""
+    import sde4mbrl_px4_tpu.io.engine_runtime as er
+
+    orig = node.ctrl.collect_entry
+    calls = {"n": 0}
+
+    def flaky(entry):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected tunnel failure")
+        return orig(entry)
+
+    node.ctrl.collect_entry = flaky
+    try:
+        x = np.asarray(hover_state())
+        node.set_mode(CTRL_POSE_ACTIVE, target_pose=x)
+        t0 = node.ctrl.plan_sample_time_usec
+        # pump a fixed number of doorbells (no early exit: a stale plan from
+        # earlier tests already answers pickups)
+        for k in range(60):
+            node.handle_state(x, 50e6 + k * 2e4)
+            time.sleep(0.02)
+            if calls["n"] >= 2 and node.ctrl.plan_sample_time_usec > t0:
+                break
+        # the first collect failed; later solves still dispatched, collected
+        # and published fresh plans
+        assert calls["n"] >= 2
+        assert node.ctrl.plan_sample_time_usec > t0
+        assert 0 <= node._inflight <= node.max_inflight
+    finally:
+        node.ctrl.collect_entry = orig
+        node.set_mode(0)  # CTRL_INACTIVE: leave the module-scoped node clean
