@@ -21,10 +21,13 @@ import os
 import sys
 import time
 
-# Persistent compilation cache: the fused Mosaic kernels take ~3 min to
-# compile cold but hit the cache on every subsequent run.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+# Shared persistent compilation cache (sde4mbrl_px4_tpu/compile_cache.py):
+# the fused Mosaic kernels take ~3 min to compile cold but hit the cache on
+# every subsequent run of ANY entry point.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from sde4mbrl_px4_tpu.compile_cache import ensure_compile_cache
+
+ensure_compile_cache()
 
 import numpy as np
 
@@ -96,7 +99,7 @@ def main():
     chip_rate = None
     try:
         chip_rate = _bench_chained(here, _log, cfg, mpc_fn, reset_fn,
-                                   state_from_traj)
+                                   state_from_traj, t_start=T0)
     except Exception as e:  # noqa: BLE001
         _log(f"chained bench skipped: {e!r}")
 
@@ -204,7 +207,7 @@ def _achieved_gflops(cfg, steps_per_solve, solves_per_sec):
 
 
 def _bench_chained(here, _log, cfg, mpc_fn, reset_fn, state_from_traj, K=10,
-                   t_start=3.0):
+                   t_start=0.0):
     """On-device sequential solve rate: K receding-horizon solves chained in
     ONE jitted program (lax.scan with state feedback), amortizing the
     host-dispatch floor (~9 ms/call through the axon dev tunnel; ~0.1 ms on

@@ -16,14 +16,12 @@ import sys
 import threading
 import time
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-)
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+from sde4mbrl_px4_tpu.compile_cache import ensure_compile_cache
+
+ensure_compile_cache()
 
 import numpy as np
-
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def main():
@@ -81,10 +79,9 @@ def main():
     plant = SDEPlant(model, params, sim_dt=0.005)
     # state_from_traj is ENU at the API boundary; the plant runs NED.
     start = np.array(enu2ned(node.ctrl.traj.state_from_traj(0.0)))
-    # At rest: the reference CSVs start at full speed (~1.7 m/s); coasting
-    # uncontrolled until first engagement made the run outcome depend on
-    # engagement timing jitter. The trajectory-entry catch-up is still
-    # exercised (the vehicle idles at zero velocity, the reference moves).
+    # The shipped CSVs ramp from rest (trajgen ramp=1.5 s) so traj(0) has
+    # zero velocity already; zero it anyway so custom full-speed-start CSVs
+    # don't make the pre-engagement coast depend on engagement timing.
     start[3:6] = 0.0
     plant.reset(start)
     fcu = FCUSim(plant, state_rate_hz=args.state_rate)
@@ -157,9 +154,11 @@ def main():
                 solve_time=rec.solve_time, num_steps=rec.num_steps,
                 opt_cost=rec.opt_cost, mpc_indx=rec.mpc_indx,
             )
-            if args.verbose and k % 5 == 0:
-                d = plant.x[:3] - ref[:3]
-                print(f"  t_traj={t_traj:5.2f} err={np.round(d,2)} |e|={errs[-1]:.2f}", flush=True)
+            if args.verbose and k % 5 == 0 and ref_now is not None:
+                d = plant.x[:3] - ref_now[:3]
+                print(f"  t_traj={node.ctrl.automata.trajec_time:5.2f} "
+                      f"err={np.round(d, 2)} |e|={np.linalg.norm(d):.2f}",
+                      flush=True)
 
     stop.set()
     node.stop()

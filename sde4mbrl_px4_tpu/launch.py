@@ -186,13 +186,9 @@ def launch_from_file(path: str, repl: bool = False):
 
 
 def main(argv=None):
-    # Persistent XLA compilation cache: solver compiles dominate node
-    # startup (reference logs the same hot spot, sde_control.py:695-720);
-    # cached programs cut engine bring-up from minutes to seconds.
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "sde4mbrl_px4_tpu_xla"),
-    )
+    from sde4mbrl_px4_tpu.compile_cache import ensure_compile_cache
+
+    ensure_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("launch_file")
     ap.add_argument("--repl", action="store_true", help="attach the mission REPL")

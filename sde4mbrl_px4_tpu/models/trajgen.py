@@ -61,7 +61,10 @@ def circle_trajectory(radius: float = 1.0, period: float = 6.0, z: float = 1.5,
     a = np.stack(
         [-radius * (c * thd * thd + s * thdd),
          radius * (-s * thd * thd + c * thdd), np.zeros_like(t)], 1)
-    yaw = np.arctan2(v[:, 1], v[:, 0]) if yaw_follow else np.zeros_like(t)
+    # Yaw from the path TANGENT (-sin, cos), not from v: at a from-rest
+    # ramp point v=(-0,+0) and arctan2(+0,-0)=pi would bake a 90-degree
+    # yaw step into the first sample.
+    yaw = np.arctan2(c, -s) if yaw_follow else np.zeros_like(t)
     return _pack(t, p, v, a, yaw)
 
 

@@ -86,10 +86,15 @@ class FleetEngine:
             curr_ts: (B,) per-vehicle positions on the reference trajectory
                 (trajectory configs; zeros otherwise).
 
-        Returns ``(u_first (B, n_u), x_evol (B, H+1, 13), age_s)`` — the
-        first-step controls and predicted trajectories of the newest
-        COLLECTED plans, and their age (0.0 on the cold start / blocking
-        path, ~one tick when pipelined).
+        Returns ``(u_now (B, n_u), x_evol (B, H+1, 13), age_s)`` — the
+        controls to apply NOW and the predicted trajectories of the newest
+        COLLECTED plans, plus the plans' age. Like the single-vehicle
+        engine's time-indexed pickup (``engine/controller.py``), ``u_now``
+        is the plan row matching the plan age (``u[round(age/dt)]``), so a
+        pipelined caller applying the previous tick's plan executes that
+        plan's step-1 action, not a stale step-0 (this also makes the
+        cold-start tick, whose plan is returned again one tick later,
+        time-consistent).
         """
         if self._opt is None:
             self.reset(states)
@@ -116,4 +121,5 @@ class FleetEngine:
             self._pending = (sol, now) if self.pipeline else None
             age = 0.0
         u, x_evol = jax.device_get((sol.u_opt, sol.x_evol))
-        return np.asarray(u)[:, 0, :], np.asarray(x_evol), age
+        idx = min(int(round(age / self.dt)), self.H - 1)
+        return np.asarray(u)[:, idx, :], np.asarray(x_evol), age

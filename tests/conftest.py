@@ -22,14 +22,41 @@ import pytest
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Build the native runtime library if absent (it is intentionally not
-# tracked in git) so the C++ parity/runtime tests run instead of skipping.
-if not os.path.exists(os.path.join(_ROOT, "csrc", "libmpc_native.so")):
+
+def _build_native_lib():
+    """Build the native runtime library if absent (it is intentionally not
+    tracked in git) so the C++ parity/runtime tests run instead of skipping.
+
+    Serialized with an exclusive file lock: under pytest-xdist every worker
+    imports this conftest concurrently, and parallel `make` invocations
+    would race-link the same .so. A failed/killed build removes the
+    possibly-truncated artifact so the next run rebuilds instead of
+    dlopening garbage.
+    """
+    import fcntl
+
+    so = os.path.join(_ROOT, "csrc", "libmpc_native.so")
+    if os.path.exists(so):
+        return
+    lock_path = os.path.join(_ROOT, "csrc", ".build.lock")
     try:
-        subprocess.run(["make", "-C", os.path.join(_ROOT, "csrc")],
-                       check=False, capture_output=True, timeout=120)
-    except Exception:
-        pass  # tests that need it will skip with a clear reason
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)   # other workers wait here
+            if os.path.exists(so):             # a peer built it meanwhile
+                return
+            try:
+                r = subprocess.run(["make", "-C", os.path.join(_ROOT, "csrc")],
+                                   capture_output=True, timeout=120)
+                ok = r.returncode == 0
+            except Exception:
+                ok = False
+            if not ok and os.path.exists(so):
+                os.unlink(so)                  # never keep a truncated .so
+    except OSError:
+        pass  # tests that need the library will skip with a clear reason
+
+
+_build_native_lib()
 
 
 @pytest.fixture(scope="session")

@@ -186,8 +186,6 @@ def test_pipelined_controller_matches_sync_shifted(repo_root, tmp_path):
 def test_collector_survives_failed_collect(node):
     """A failing collect must not kill the collector or leak in-flight
     slots (a dead collector would silently drop every future solve)."""
-    import sde4mbrl_px4_tpu.io.engine_runtime as er
-
     orig = node.ctrl.collect_entry
     calls = {"n": 0}
 
@@ -202,8 +200,9 @@ def test_collector_survives_failed_collect(node):
         x = np.asarray(hover_state())
         node.set_mode(CTRL_POSE_ACTIVE, target_pose=x)
         t0 = node.ctrl.plan_sample_time_usec
-        # pump a fixed number of doorbells (no early exit: a stale plan from
-        # earlier tests already answers pickups)
+        # pump doorbells directly (not _pump: a stale plan from earlier
+        # tests answers pickups immediately) until a post-failure solve has
+        # been collected AND published a fresh plan
         for k in range(60):
             node.handle_state(x, 50e6 + k * 2e4)
             time.sleep(0.02)

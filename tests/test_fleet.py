@@ -22,9 +22,19 @@ def fleet(repo_root):
     return FleetEngine(cfg, mesh, batch=8, seed=0)
 
 
-def test_fleet_tracks_per_vehicle_targets(fleet):
+def test_fleet_tracks_per_vehicle_targets(repo_root):
     """8 vehicles with distinct setpoints all converge toward their own
-    targets under closed-loop fleet stepping."""
+    targets under closed-loop fleet stepping.
+
+    pipeline=False here: the blocking mode gives a clean one-model-step-
+    per-tick plant chain (pipelined feedback of the PREVIOUS tick's x_evol
+    would interleave two chains at half the physical rate)."""
+    cfg = load_yaml_config(os.path.join(repo_root, "configs/iris_posctrl_mpc.yaml"))
+    cfg["apg_mpc"]["max_iter"] = 15
+    cfg["apg_mpc"]["max_no_improvement_iter"] = 15
+    mesh = make_mesh((min(4, len(jax.devices())), 1),
+                     devices=jax.devices()[: min(4, len(jax.devices()))])
+    fleet = FleetEngine(cfg, mesh, batch=8, seed=0, pipeline=False)
     B = fleet.B
     rs = np.random.RandomState(0)
     states = np.tile(np.asarray(hover_state()), (B, 1)).astype(np.float32)
@@ -37,8 +47,8 @@ def test_fleet_tracks_per_vehicle_targets(fleet):
 
     err0 = np.linalg.norm(states[:, 0:3] - targets[:, 0:3], axis=1)
     for k in range(70):   # 3.5 s of physical time at the 50 ms tick
-        # (the posctrl weights give a gentle controller: v ~ 0.4 m/s by
-        # t=1.6 s; halving a ~1 m error takes ~3 s)
+        # (the posctrl weights give a gentle controller: halving a ~1 m
+        # error takes ~3 s)
         u, x_evol, age = fleet.step(states, targets_enu)
         assert u.shape == (B, 4)
         assert np.isfinite(u).all()
