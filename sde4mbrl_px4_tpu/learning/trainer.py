@@ -70,6 +70,44 @@ class TrajectoryDataset:
         d = np.load(path)
         return TrajectoryDataset(d["t"], d["x"], d["u"], window)
 
+    @staticmethod
+    def from_flight_log(path: str, window: int, n_u: int = 4,
+                        ) -> "TrajectoryDataset":
+        """System identification from a recorded flight
+        (``io/flight_log.py`` .npz: ``t``, ``state``, ``cmd_motors``).
+
+        Closes the reference ecosystem's data loop (its models are fitted
+        offline from flight logs by the external companion library): fly
+        the closed-loop sim (``examples/closed_loop_sim.py --log``) or a
+        real mission, then fit the SDE on the logged (state, command)
+        stream. Rows before the first command (engagement) are dropped;
+        the longest contiguous commanded segment is used.
+        """
+        from sde4mbrl_px4_tpu.io.flight_log import load_flight_log
+
+        d = load_flight_log(path)
+        t, x = d["t"], d["state"]
+        u = d["cmd_motors"][:, :n_u]
+        have = ~np.isnan(u).any(axis=1) & (np.abs(u).sum(axis=1) > 0)
+        # longest contiguous commanded run
+        best = (0, 0)
+        i = 0
+        n = len(have)
+        while i < n:
+            if have[i]:
+                j = i
+                while j < n and have[j]:
+                    j += 1
+                if j - i > best[1] - best[0]:
+                    best = (i, j)
+                i = j
+            else:
+                i += 1
+        i0, i1 = best
+        if i1 - i0 <= window:
+            raise ValueError("no commanded segment longer than the window")
+        return TrajectoryDataset(t[i0:i1], x[i0:i1], u[i0:i1], window)
+
     def batches(self, batch_size: int, seed: int = 0) -> Iterator[Tuple]:
         rs = np.random.RandomState(seed)
         n = self.x0.shape[0]

@@ -94,3 +94,52 @@ def test_training_improves_prediction(true_and_init):
     e_init = float(jnp.linalg.norm(pred_init[-1, 3:6] - ref[-1, 3:6]))
     e_trained = float(jnp.linalg.norm(pred_trained[-1, 3:6] - ref[-1, 3:6]))
     assert e_trained < e_init
+
+
+def test_sysid_from_flight_log(tmp_path, iris_model):
+    """Flight-log -> dataset -> a few training steps: the system-ident
+    loop the reference ecosystem runs offline (closed here in-repo)."""
+    import jax.numpy as jnp
+
+    from sde4mbrl_px4_tpu.io.flight_log import FlightRecorder
+    from sde4mbrl_px4_tpu.learning.trainer import (
+        TrainConfig, TrajectoryDataset, train_sde,
+    )
+    from sde4mbrl_px4_tpu.ops.rollout import rollout_mean
+    from sde4mbrl_px4_tpu.core.types import hover_state
+
+    import jax
+
+    model, params = iris_model
+    # synthesize a "flight": roll the model with varying motor commands,
+    # record like the sim demo does (leading uncommanded rows included)
+    rec = FlightRecorder()
+    x = jnp.asarray(hover_state())
+    rs = np.random.RandomState(0)
+    rec.record(0.0, np.asarray(x), cmd_motors=None)  # pre-engagement row
+    step = jax.jit(lambda x, u: rollout_mean(
+        model, params, x, u[None, :], jnp.asarray([0.02], jnp.float32))[1])
+    t = 0.0
+    for k in range(160):
+        u = np.clip(0.71 + 0.05 * rs.randn(4), 0.1, 1.0).astype(np.float32)
+        x = step(x, jnp.asarray(u))
+        t += 0.02
+        rec.record(t, np.asarray(x), cmd_motors=np.concatenate([u, np.zeros(2)]))
+    p = str(tmp_path / "flight.npz")
+    rec.save(p)
+
+    ds = TrajectoryDataset.from_flight_log(p, window=4)
+    assert ds.x0.shape[0] > 100          # pre-engagement row dropped
+    # perturb the model so there is something to re-identify
+    params2 = jax.tree.map(jnp.asarray, params)
+    params2["motor"]["log_gain"] = params2["motor"]["log_gain"] + 0.05
+    cfg = TrainConfig(window=4, batch_size=32, steps=25, lr=1e-3)
+    loss_fn = None
+    from sde4mbrl_px4_tpu.learning.trainer import make_loss_fn
+
+    loss_fn = jax.jit(make_loss_fn(model, ds.dt, cfg))
+    b0 = next(ds.batches(64, seed=1))
+    loss_before = float(loss_fn(params2, *b0))
+    fitted, metrics = train_sde(model, params2, ds, cfg, log=lambda *a: None)
+    loss_after = float(loss_fn(fitted, *b0))
+    assert loss_after < loss_before      # NLL decreases on real log windows
