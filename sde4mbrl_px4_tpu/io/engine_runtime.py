@@ -83,6 +83,12 @@ class SDEControlNode:
         self.max_inflight = int(os.environ.get("SDE4MBRL_MAX_INFLIGHT", "1"))
         self._inflight = 0
         self._inflight_lock = threading.Lock()
+        # Disengaged ('none' mode) keep-warm rate divider: the reference
+        # solves on every doorbell even when no commands are consumed; on a
+        # TPU each of those is ~12-50 ms of device time. N>1 solves every
+        # Nth disengaged doorbell (default 1 = reference parity).
+        self.idle_solve_div = int(os.environ.get("SDE4MBRL_IDLE_SOLVE_DIV", "1"))
+        self._idle_ticks = 0
         self.now_fn = now_fn
         self.cmd_sink = cmd_sink      # callable(motors6, thrust_rates4, mpc_on, weight)
         self.max_h = max(self.ctrl.traj.horizon, self.ctrl.pos.horizon)
@@ -236,6 +242,11 @@ class SDEControlNode:
             trajec_time = float(rec[2])
             x = rec[3:16].astype(np.float32)
             target = rec[16:29].astype(np.float32)
+
+            if control_state == CONTROL_STATES["none"] and self.idle_solve_div > 1:
+                self._idle_ticks += 1
+                if self._idle_ticks % self.idle_solve_div:
+                    continue
 
             if self.pipeline:
                 # Backpressure: count solves outstanding until PUBLISHED

@@ -61,17 +61,40 @@ class FleetEngine:
 
         self._sh2 = NamedSharding(mesh, P("dp", None))
         self._sh1 = NamedSharding(mesh, P("dp"))
-        self.rngs = jax.device_put(
-            jax.random.split(jax.random.PRNGKey(seed), self.B), self._sh2
-        )
+        # Multi-process (multi-host) meshes: every process passes its LOCAL
+        # slice of the fleet (B_local = B / process_count rows, process
+        # order = global order) and arrays assemble globally without any
+        # host holding the full batch.
+        self.multiprocess = jax.process_count() > 1
+        rngs_np = np.asarray(jax.random.split(jax.random.PRNGKey(seed), self.B))
+        self.rngs = self._put2(rngs_np if not self.multiprocess
+                               else rngs_np[self._local_slice(self.B)])
         self._opt = None       # device-resident warm starts (donated)
         self._pending = None   # (sol, t_dispatch) awaiting collection
+
+    def _local_slice(self, B: int) -> slice:
+        Bl = B // jax.process_count()
+        pid = jax.process_index()
+        return slice(pid * Bl, (pid + 1) * Bl)
+
+    def _put2(self, arr: np.ndarray):
+        arr = np.asarray(arr)
+        if self.multiprocess:
+            return jax.make_array_from_process_local_data(self._sh2, arr)
+        return jax.device_put(arr, self._sh2)
+
+    def _put1(self, arr: np.ndarray):
+        arr = np.asarray(arr)
+        if self.multiprocess:
+            return jax.make_array_from_process_local_data(self._sh1, arr)
+        return jax.device_put(arr, self._sh1)
 
     # ------------------------------------------------------------------ api
 
     def reset(self, states: np.ndarray) -> None:
-        """(Re)initialize all warm starts from the fleet states."""
-        xs = jax.device_put(np.asarray(states, np.float32), self._sh2)
+        """(Re)initialize all warm starts from the fleet states (local
+        rows in multi-process meshes)."""
+        xs = self._put2(np.asarray(states, np.float32))
         self._opt = self.reset_b(xs, self.rngs, xs)
         self._pending = None
 
@@ -98,11 +121,13 @@ class FleetEngine:
         """
         if self._opt is None:
             self.reset(states)
-        xs = jax.device_put(np.asarray(states, np.float32), self._sh2)
-        xdes = jax.device_put(np.asarray(targets, np.float32), self._sh2)
-        ts = jax.device_put(
-            np.zeros(self.B, np.float32) if curr_ts is None
-            else np.asarray(curr_ts, np.float32), self._sh1)
+        B_rows = (self.B if not self.multiprocess
+                  else self.B // jax.process_count())
+        xs = self._put2(np.asarray(states, np.float32))
+        xdes = self._put2(np.asarray(targets, np.float32))
+        ts = self._put1(
+            np.zeros(B_rows, np.float32) if curr_ts is None
+            else np.asarray(curr_ts, np.float32))
 
         sol = self.mpc_b(xs, self.rngs, self._opt, ts, xdes)
         self.rngs, self._opt = sol.rng, sol.opt_state
@@ -120,6 +145,17 @@ class FleetEngine:
         else:
             self._pending = (sol, now) if self.pipeline else None
             age = 0.0
-        u, x_evol = jax.device_get((sol.u_opt, sol.x_evol))
+        if self.multiprocess:
+            # Each host serves its own vehicles: fetch only the
+            # process-local rows (a device_get of the global array would
+            # require full addressability).
+            def local_rows(a):
+                shards = sorted(a.addressable_shards,
+                                key=lambda s: s.index[0].start or 0)
+                return np.concatenate([np.asarray(s.data) for s in shards], 0)
+
+            u, x_evol = local_rows(sol.u_opt), local_rows(sol.x_evol)
+        else:
+            u, x_evol = jax.device_get((sol.u_opt, sol.x_evol))
         idx = min(int(round(age / self.dt)), self.H - 1)
         return np.asarray(u)[:, idx, :], np.asarray(x_evol), age

@@ -93,3 +93,54 @@ def test_two_process_mesh_matches_single_process(repo_root, tmp_path):
     u_ref = np.asarray(sol.u_opt)
 
     np.testing.assert_allclose(u_dist, u_ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.timeout(600)
+def test_two_process_fleet_matches_single_process(repo_root, tmp_path):
+    """FleetEngine over a 2-process mesh: each host steps its local half of
+    the fleet; the closed-loop states must match the single-process fleet."""
+    cfg = _tiny_cfg(repo_root)
+    cfg_yaml = tmp_path / "pos.yaml"
+    cfg_yaml.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "fleet"
+    port = _free_port()
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_fleet_dist_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), str(out),
+             str(cfg_yaml)],
+            env=env, cwd=repo_root,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"fleet worker failed:\n{o[-3000:]}"
+    dist = np.concatenate([np.load(f"{out}.p0.npy"), np.load(f"{out}.p1.npy")])
+
+    # single-process reference
+    import jax
+
+    from sde4mbrl_px4_tpu.core.frames import ned2enu
+    from sde4mbrl_px4_tpu.core.types import hover_state
+    from sde4mbrl_px4_tpu.parallel.fleet import FleetEngine
+    from sde4mbrl_px4_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    fleet = FleetEngine(dict(cfg), mesh, batch=8, seed=0, pipeline=False)
+    rs = np.random.RandomState(7)
+    states = np.tile(np.asarray(hover_state()), (8, 1)).astype(np.float32)
+    targets = states.copy()
+    targets[:, 0:2] += rs.uniform(-1.0, 1.0, (8, 2)).astype(np.float32)
+    targets_enu = np.stack([np.asarray(ned2enu(t)) for t in targets])
+    for _ in range(4):
+        u, x_evol, _ = fleet.step(states, targets_enu)
+        states = np.asarray(x_evol[:, 1, :])
+
+    np.testing.assert_allclose(dist, states, rtol=1e-5, atol=1e-6)
