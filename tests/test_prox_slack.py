@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from sde4mbrl_px4_tpu.core.frames import enu2ned
 from sde4mbrl_px4_tpu.core.types import hover_state
 from sde4mbrl_px4_tpu.cost.cost import CostParams, make_cost_fn
 from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
@@ -163,10 +164,12 @@ def test_prox_violation_below_penalty_form(iris_pos_bundle):
         cfg["state_constr"] = dict(_sc_block(proximal),
                                    state_penalty=[100.0, 100.0, 200.0])
         cfg, (reset_fn, mpc_fn), sft, b = make_mpc_from_config(cfg)
-        # aggressive target 3 m away: unconstrained MPC would exceed the
-        # 0.3 m/s velocity box on the way
+        # aggressive target 3 m away (NED x): unconstrained MPC would exceed
+        # the 0.3 m/s velocity box on the way. mpc_fn's xdes boundary is ENU
+        # (convert_to_enu=True default), so express the NED-intended target
+        # through the involution.
         x0 = jnp.asarray(hover_state())
-        xdes = hover_state().at[0].set(3.0)
+        xdes = enu2ned(hover_state().at[0].set(3.0))
         rng = jax.random.PRNGKey(0)
         st = reset_fn(x0, rng, x0)
         jm = jax.jit(mpc_fn)
