@@ -15,7 +15,6 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 from sde4mbrl_px4_tpu.compile_cache import ensure_compile_cache
 
 ensure_compile_cache()

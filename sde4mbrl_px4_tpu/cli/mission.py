@@ -491,7 +491,21 @@ def dispatch(ctl: MissionControl, line: str) -> bool:
     return True
 
 
-_LINE_EDITING_READY = False
+# Process-wide readline-history state: the active history path (the atexit
+# handler resolves it at save time, so a later _setup_line_editing with a
+# different file is honored) and whether the handler is registered.
+_HISTORY = {"path": None, "registered": False}
+
+
+def _save_history():
+    if _HISTORY["path"] is None:
+        return
+    try:
+        import readline
+
+        readline.write_history_file(_HISTORY["path"])
+    except (ImportError, OSError):
+        pass
 
 
 def _setup_line_editing(history_file: Optional[str] = None):
@@ -499,9 +513,10 @@ def _setup_line_editing(history_file: Optional[str] = None):
     REPL uses prompt_toolkit with a word completer,
     ``input_command.py:23-30``; stdlib readline provides the same
     affordances without a dependency). Returns a save-history callable.
-    The atexit save handler registers once per process (repeat REPL
-    sessions would otherwise stack duplicate handlers)."""
-    global _LINE_EDITING_READY
+    Safe to call repeatedly in one process: the history file is loaded only
+    when it changes (re-reading would append duplicates onto the live
+    history), and the single atexit handler always saves to the CURRENT
+    path."""
     try:
         import atexit
         import readline
@@ -517,22 +532,20 @@ def _setup_line_editing(history_file: Optional[str] = None):
     readline.set_completer(complete)
     readline.parse_and_bind("tab: complete")
     hist = history_file or os.path.expanduser("~/.sde4mbrl_px4_history")
-    try:
-        readline.read_history_file(hist)
-    except OSError:
-        pass
-    readline.set_history_length(500)
-
-    def save():
+    if hist != _HISTORY["path"]:
+        _save_history()  # persist the previous file before switching
+        readline.clear_history()
         try:
-            readline.write_history_file(hist)
+            readline.read_history_file(hist)
         except OSError:
             pass
+        _HISTORY["path"] = hist
+    readline.set_history_length(500)
 
-    if not _LINE_EDITING_READY:
-        _LINE_EDITING_READY = True
-        atexit.register(save)
-    return save
+    if not _HISTORY["registered"]:
+        _HISTORY["registered"] = True
+        atexit.register(_save_history)
+    return _save_history
 
 
 def repl(ctl: MissionControl, prompt: str = "Enter command >>> ",

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import logging
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -270,7 +271,17 @@ class RecedingHorizonController:
         # solve (~9 ms tunnel floor vs 40-60 ms blocking; the time-indexed
         # pickup absorbs the one-period plan staleness by construction).
         self.pipeline = pipeline
-        self._pending: Optional[tuple] = None
+        # In pipeline mode a single-worker executor FETCHES each dispatched
+        # solve eagerly (device_get blocks until the device finishes, so the
+        # record's solve_time is stamped at true completion and the transfer
+        # overlaps the caller's control period); PUBLICATION of the fetched
+        # plan still happens on the next solve_once call, keeping the
+        # documented publish-(k-1)-at-call-k semantics.
+        self._pending = None  # Future over _fetch results
+        self._fetcher = (
+            ThreadPoolExecutor(max_workers=1, thread_name_prefix="mpc-fetch")
+            if pipeline else None
+        )
 
     # ------------------------------------------------------------------ solve
 
@@ -288,12 +299,13 @@ class RecedingHorizonController:
         entry = self.solve_async(x, control_state, trajec_time, target_x,
                                  sample_time_usec)
         if self.pipeline:
-            prev, self._pending = self._pending, entry
+            fut = self._fetcher.submit(self._fetch, *entry)
+            prev, self._pending = self._pending, fut
             # Cold start (no dispatch in flight): publish the solve just
             # issued — it stays pending too, so the next call already
-            # pipelines (re-publishing the latest plan is a no-op under
-            # latest-wins pickup).
-            entry = prev if prev is not None else entry
+            # pipelines (the Future caches its fetch, so nothing is
+            # transferred twice).
+            return self._publish(*(prev if prev is not None else fut).result())
         return self._collect(*entry)
 
     def solve_async(self, x: np.ndarray, control_state: int,
@@ -370,6 +382,13 @@ class RecedingHorizonController:
     def _collect(self, sol, used, mode: str, control_state: int,
                  sample_time_usec: float, t0: float) -> OptMPCStateRecord:
         """Block on one dispatched solve, publish its plan + stats."""
+        return self._publish(*self._fetch(sol, used, mode, control_state,
+                                          sample_time_usec, t0))
+
+    def _fetch(self, sol, used, mode: str, control_state: int,
+               sample_time_usec: float, t0: float) -> tuple:
+        """Block until a dispatched solve completes and pull its outputs to
+        host. No controller state is mutated — safe off-thread."""
         # One host transfer for everything the plan needs (each separate
         # fetch pays a full round trip on tunneled devices).
         u_opt, x_evol, stats_host = jax.device_get(
@@ -379,8 +398,17 @@ class RecedingHorizonController:
         )
         u_opt = np.asarray(u_opt)
         x_evol = np.asarray(x_evol)
+        # device_get returns when the solve has finished AND its outputs
+        # landed on host, so this stamp is dispatch -> completion+transfer
+        # regardless of when the plan is later published.
         solve_time = time.perf_counter() - t0
+        return (u_opt, x_evol, stats_host, mode, control_state,
+                sample_time_usec, solve_time)
 
+    def _publish(self, u_opt, x_evol, stats_host, mode: str,
+                 control_state: int, sample_time_usec: float,
+                 solve_time: float) -> OptMPCStateRecord:
+        """Publish a fetched plan + stats (latest-wins)."""
         # thrust = motor mean; rates from predicted trajectory (:431-432).
         thrust = np.sum(u_opt, axis=1) / u_opt.shape[1]
         w_opt = np.stack(

@@ -25,8 +25,10 @@ Mosaic lowering constraints.
 
 Large Monte-Carlo batches (P > ~128) exceed the per-kernel scoped-VMEM
 limit when swept whole; pass ``chunk`` (e.g. 128) to run the particle
-axis in-kernel in chunks — costs and gradients average across chunks,
-bit-identical reduction order to the unchunked mean when P % chunk == 0.
+axis in-kernel in chunks — costs and gradients are averaged as
+mean-of-chunk-means (exact in reals when P % chunk == 0, but a different
+float accumulation ORDER than the unchunked mean — parity vs unchunked
+holds to ~1e-5 relative, see ``tests/test_pallas_kernels.py``).
 
 Semantics are the same math as the XLA path (``ops/rollout.rollout_sde`` +
 ``cost/cost.make_cost_fn``); equivalence is enforced by

@@ -87,8 +87,11 @@ class LiveMonitor:
         tc = np.array([r[0] for r in self.cmd])
         mo = np.stack([r[1] for r in self.cmd])
         wr = np.stack([r[2] for r in self.cmd])
-        mach = (np.stack([r[2] for r in self.ach])
-                if self.ach[-1][2] is not None else None)
+        # Motor readings are optional per-row (a stream may start without
+        # them or interleave sources): plot only the rows that carry them.
+        m_rows = [(r[0], r[2]) for r in self.ach if r[2] is not None]
+        tm = np.array([r[0] for r in m_rows]) if m_rows else None
+        mach = np.stack([r[1] for r in m_rows]) if m_rows else None
 
         fig, axes = plt.subplots(2, 1, figsize=(11, 7), sharex=True)
         ax = axes[0]
@@ -97,7 +100,7 @@ class LiveMonitor:
                 ax.plot(tc, mo[:, i], lw=0.9, label=f"m{i+1} cmd")
         if mach is not None:
             for i in range(mach.shape[1]):
-                ax.plot(ta, mach[:, i], lw=0.8, ls="--", label=f"m{i+1} achieved")
+                ax.plot(tm, mach[:, i], lw=0.8, ls="--", label=f"m{i+1} achieved")
         ax.set_ylabel("motor [0..1]")
         ax.legend(ncol=6, fontsize=7)
         ax.set_title("mpc_motors_cmd vs actuator readings (live)")

@@ -11,11 +11,10 @@ import os
 import sys
 import time
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sde4mbrl_px4_tpu.compile_cache import ensure_compile_cache
+
+ensure_compile_cache()
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +59,10 @@ def main():
     cfg["num_particles"] = 1024
     cfg["apg_mpc"]["max_iter"] = 200
     cfg["apg_mpc"]["max_no_improvement_iter"] = 200
+    # Without pallas_chunk the loader reroutes P>128 to the XLA path
+    # (mpc_loader particle-axis routing) — this check exists to compile the
+    # CHUNKED Mosaic kernel, so force it.
+    cfg["pallas_chunk"] = 128
     _, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(dict(cfg), use_pallas=True)
     x0 = hover_state()
     st = reset_fn(x0, rng, x0)

@@ -4,11 +4,10 @@ import os
 import sys
 import time
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sde4mbrl_px4_tpu.compile_cache import ensure_compile_cache
+
+ensure_compile_cache()
 
 import jax
 import jax.numpy as jnp
