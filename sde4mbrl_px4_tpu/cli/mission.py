@@ -439,6 +439,19 @@ class MissionControl:
         self._controller_set_mode(CTRL_POSE_ACTIVE)
         self.stop_offboard_mode = True
 
+    def push_params(self, path: str):
+        """Bulk-apply a PX4 parameter dump file (QGC plain-text format) to
+        the vehicle — the reproducible-setup analogue of the reference's
+        shipped ``launch/params_hexa_ahg.params`` applied over
+        ``/mavros/param/set`` (``basic_control.py:110-121``)."""
+        from sde4mbrl_px4_tpu.io.px4_params import parse_params_file
+
+        params = parse_params_file(path)
+        pushed = sum(bool(self.vehicle.set_param(k, v)) for k, v in params.items())
+        self.log(f"Pushed {pushed}/{len(params)} params from {path}")
+        if pushed < len(params):
+            self.log("(vehicle backend rejected some params)")
+
     # -- helpers -------------------------------------------------------------
 
     def _set_setpoint_here(self):
@@ -458,6 +471,7 @@ _VERBS = [
     "arm", "disarm", "takeoff", "land", "pos", "relpos", "offboard",
     "controller_init", "controller_on", "controller_off", "controller_idle",
     "controller_test", "set_box", "rm_box", "ctrl_pos", "weight_motors",
+    "push_params",
 ]
 
 
@@ -476,7 +490,8 @@ def dispatch(ctl: MissionControl, line: str) -> bool:
     if not hasattr(ctl, verb) or verb.startswith("_"):
         print(f"Unknown command {verb!r} (help for list)")
         return True
-    typ = str if verb == "controller_init" else (int if verb == "weight_motors" else float)
+    typ = (str if verb in ("controller_init", "push_params")
+           else int if verb == "weight_motors" else float)
     a, kw = [], {}
     try:
         for tok in args:

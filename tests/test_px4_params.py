@@ -1,0 +1,77 @@
+"""PX4 param-dump file support: parse/dump round-trip, diff, bulk push
+through the mission layer (reference asset: ``launch/params_hexa_ahg.params``
+applied via ``/mavros/param/set``, ``basic_control.py:110-121``)."""
+import os
+
+import pytest
+
+from sde4mbrl_px4_tpu.io.px4_params import (
+    diff_params,
+    dump_params_file,
+    parse_params_file,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_parse_shipped_asset():
+    params = parse_params_file(os.path.join(REPO, "configs", "params_hexa.params"))
+    assert params["COM_RCL_EXCEPT"] == 4
+    assert isinstance(params["COM_RCL_EXCEPT"], int)  # type code 6 -> int
+    assert params["MPC_TILTMAX_AIR"] == pytest.approx(30.0)
+    assert isinstance(params["MPC_TILTMAX_AIR"], float)  # type code 9 -> float
+    assert len(params) == 9
+
+
+def test_roundtrip(tmp_path):
+    src = {"A_INT": 4, "B_FLOAT": 0.5, "C_NEG": -1, "D_BIG": 921600}
+    p = str(tmp_path / "dump.params")
+    dump_params_file(p, src, header="roundtrip test")
+    back = parse_params_file(p)
+    assert back == src
+    for k in ("A_INT", "C_NEG", "D_BIG"):
+        assert isinstance(back[k], int)
+    assert isinstance(back["B_FLOAT"], float)
+
+
+def test_parse_rejects_malformed(tmp_path):
+    p = tmp_path / "bad.params"
+    p.write_text("1\t1\tNAME_ONLY\n")
+    with pytest.raises(ValueError, match="expected 5 fields"):
+        parse_params_file(str(p))
+    p.write_text("1\t1\tX\tnotanumber\t9\n")
+    with pytest.raises(ValueError):
+        parse_params_file(str(p))
+
+
+def test_diff_params():
+    cur = {"A": 1, "B": 2.0, "C": 3}
+    tgt = {"A": 1, "B": 2.5, "D": 4}
+    d = diff_params(cur, tgt)
+    assert set(d) == {"B", "D"}
+    assert d["B"] == (2.0, 2.5)
+    assert d["D"] == (None, 4)
+    # float equality within rtol is NOT a diff
+    assert diff_params({"X": 1.0}, {"X": 1.0 + 1e-9}) == {}
+
+
+def test_mission_push_params(iris_model, tmp_path):
+    from sde4mbrl_px4_tpu.cli.mission import MissionControl, SimVehicle, dispatch
+    from sde4mbrl_px4_tpu.sim.plant import FCUSim, SDEPlant
+
+    model, params = iris_model
+    fcu = FCUSim(SDEPlant(model, params, sim_dt=0.005))
+    veh = SimVehicle(fcu)
+    logs = []
+    ctl = MissionControl(veh, engine=None, log=logs.append)
+
+    pfile = str(tmp_path / "mission.params")
+    dump_params_file(pfile, {"MPC_TILTMAX_AIR": 25.0, "NAV_RCL_ACT": 0})
+
+    # through the REPL grammar (path arg stays a string)
+    assert dispatch(ctl, f"push_params {pfile}")
+    assert fcu.params["MPC_TILTMAX_AIR"] == pytest.approx(25.0)
+    assert fcu.params["NAV_RCL_ACT"] == 0
+    # preflight push from __init__ is still there
+    assert fcu.params["COM_RCL_EXCEPT"] == 4
+    assert any("Pushed 2/2" in str(m) for m in logs)
