@@ -36,7 +36,10 @@ def test_flight_recorder_analysis_plot(tmp_path):
 
     rec = FlightRecorder()
     for k in range(20):
-        rec.record(t=k * 0.02, state=np.zeros(13, np.float32),
+        x = np.zeros(13, np.float32)
+        x[0] = 0.1 * k          # move north so the scene has extent
+        x[6] = 1.0              # identity attitude
+        rec.record(t=k * 0.02, state=x,
                    cmd_motors=np.full(6, 0.7),
                    cmd_thrust_rates=np.array([0.7, 0.1, 0, 0], np.float32),
                    ref=np.zeros(13, np.float32))
@@ -45,11 +48,15 @@ def test_flight_recorder_analysis_plot(tmp_path):
     out = str(tmp_path / "f.png")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
-        [sys.executable, os.path.join(repo, "tools/analyze.py"), p, "-o", out],
+        [sys.executable, os.path.join(repo, "tools/analyze.py"), p,
+         "-o", out, "--scene"],
         capture_output=True, text=True, timeout=120,
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert os.path.exists(out) and os.path.getsize(out) > 10_000
+    # 3-D scene view (rviz_config.rviz analogue)
+    scene = str(tmp_path / "f_scene.png")
+    assert os.path.exists(scene) and os.path.getsize(scene) > 10_000
 
 
 def test_launch_config_dir_resolution(repo_root):

@@ -144,6 +144,56 @@ def live_main(addr: str, out_png: str, refresh_s: float = 1.0,
                 print(mon.summary(), flush=True)
 
 
+def render_scene(d: dict, out_png: str) -> None:
+    """3-D flight scene: flown path vs reference trajectory with the start
+    marker and current-attitude body axes — the ``rviz_config.rviz``
+    analogue (the reference's rviz scene shows the vehicle pose and path;
+    ``/root/reference/launch/rviz_config.rviz``, SURVEY.md §2.14)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    # numpy quaternion->rotation (keeps this tool jax-free: importing jax
+    # here would initialize the TPU backend in a plotting subprocess)
+    def _q_to_rotmat(q):
+        w, x, y, z = np.asarray(q, np.float64) / max(np.linalg.norm(q), 1e-9)
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
+    xs = d["state"]
+    fig = plt.figure(figsize=(8, 7))
+    ax = fig.add_subplot(111, projection="3d")
+    # NED state -> plot in ENU-ish display axes (x east, y north, z up).
+    ax.plot(xs[:, 1], xs[:, 0], -xs[:, 2], lw=1.2, label="flown")
+    have_ref = ~np.isnan(d["ref"][:, 0])
+    if have_ref.any():
+        r = d["ref"][have_ref]
+        ax.plot(r[:, 1], r[:, 0], -r[:, 2], lw=1.0, ls="--", label="reference")
+    ax.scatter([xs[0, 1]], [xs[0, 0]], [-xs[0, 2]], marker="o", s=40,
+               label="start")
+    # Final-pose body axes (visual attitude cue like the rviz vehicle model).
+    R = _q_to_rotmat(xs[-1, 6:10])
+    origin = np.array([xs[-1, 1], xs[-1, 0], -xs[-1, 2]])
+    scale = max(1e-6, 0.05 * float(np.ptp(xs[:, :3])))
+    for k, (axis_color, nm) in enumerate(zip("rgb", ("xb", "yb", "zb"))):
+        v = R[:, k]  # body axis in NED
+        vv = np.array([v[1], v[0], -v[2]]) * scale
+        ax.plot([origin[0], origin[0] + vv[0]],
+                [origin[1], origin[1] + vv[1]],
+                [origin[2], origin[2] + vv[2]], color=axis_color, lw=2,
+                label=nm)
+    ax.set_xlabel("E [m]"); ax.set_ylabel("N [m]"); ax.set_zlabel("U [m]")
+    ax.legend(fontsize=8)
+    ax.set_title("flight scene: flown vs reference path")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("log", nargs="?", default=None,
@@ -151,6 +201,9 @@ def main():
     ap.add_argument("--live", default=None, metavar="HOST:PORT",
                     help="bind a UDP MAVLink endpoint and stream the "
                          "commanded-vs-achieved overlay live")
+    ap.add_argument("--scene", action="store_true",
+                    help="also render a 3-D flown-vs-reference path view "
+                         "(<log>_scene.png) — the rviz-scene analogue")
     ap.add_argument("--refresh", type=float, default=1.0)
     ap.add_argument("--duration", type=float, default=0.0,
                     help="live mode: stop after N seconds (0 = forever)")
@@ -222,6 +275,11 @@ def main():
     fig.tight_layout()
     fig.savefig(out, dpi=110)
     print(f"wrote {out}")
+
+    if args.scene:
+        scene_out = os.path.splitext(out)[0] + "_scene.png"
+        render_scene(d, scene_out)
+        print(f"wrote {scene_out}")
 
 
 if __name__ == "__main__":
