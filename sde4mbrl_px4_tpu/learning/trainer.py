@@ -48,6 +48,36 @@ class TrainConfig:
     seed: int = 0
 
 
+def sequence_from_flight_log(path: str, n_u: int = 4):
+    """``(t, x, u)`` — the longest contiguous commanded segment of a
+    recorded flight (``io/flight_log.py`` .npz: ``t``, ``state``,
+    ``cmd_motors``). Rows before the first command (engagement) are
+    dropped. Shared by training (``TrajectoryDataset.from_flight_log``)
+    and model evaluation (``learning/evaluate.py``)."""
+    from sde4mbrl_px4_tpu.io.flight_log import load_flight_log
+
+    d = load_flight_log(path)
+    t, x = d["t"], d["state"]
+    u = d["cmd_motors"][:, :n_u]
+    have = ~np.isnan(u).any(axis=1) & (np.abs(u).sum(axis=1) > 0)
+    # longest contiguous commanded run
+    best = (0, 0)
+    i = 0
+    n = len(have)
+    while i < n:
+        if have[i]:
+            j = i
+            while j < n and have[j]:
+                j += 1
+            if j - i > best[1] - best[0]:
+                best = (i, j)
+            i = j
+        else:
+            i += 1
+    i0, i1 = best
+    return t[i0:i1], x[i0:i1], u[i0:i1]
+
+
 class TrajectoryDataset:
     """Sliding-window view over one or more logged flight segments."""
 
@@ -83,30 +113,10 @@ class TrajectoryDataset:
         stream. Rows before the first command (engagement) are dropped;
         the longest contiguous commanded segment is used.
         """
-        from sde4mbrl_px4_tpu.io.flight_log import load_flight_log
-
-        d = load_flight_log(path)
-        t, x = d["t"], d["state"]
-        u = d["cmd_motors"][:, :n_u]
-        have = ~np.isnan(u).any(axis=1) & (np.abs(u).sum(axis=1) > 0)
-        # longest contiguous commanded run
-        best = (0, 0)
-        i = 0
-        n = len(have)
-        while i < n:
-            if have[i]:
-                j = i
-                while j < n and have[j]:
-                    j += 1
-                if j - i > best[1] - best[0]:
-                    best = (i, j)
-                i = j
-            else:
-                i += 1
-        i0, i1 = best
-        if i1 - i0 <= window:
+        t, x, u = sequence_from_flight_log(path, n_u=n_u)
+        if t.shape[0] <= window:
             raise ValueError("no commanded segment longer than the window")
-        return TrajectoryDataset(t[i0:i1], x[i0:i1], u[i0:i1], window)
+        return TrajectoryDataset(t, x, u, window)
 
     def batches(self, batch_size: int, seed: int = 0) -> Iterator[Tuple]:
         rs = np.random.RandomState(seed)

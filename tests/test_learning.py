@@ -143,3 +143,68 @@ def test_sysid_from_flight_log(tmp_path, iris_model):
     fitted, metrics = train_sde(model, params2, ds, cfg, log=lambda *a: None)
     loss_after = float(loss_fn(fitted, *b0))
     assert loss_after < loss_before      # NLL decreases on real log windows
+
+
+def _generate_stochastic_flight(params, model, n_steps=400, dt=0.02, seed=7):
+    """Excite the TRUE stochastic model (EM steps with Brownian noise)."""
+    from sde4mbrl_px4_tpu.ops.rollout import em_step
+
+    rs = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    step = jax.jit(lambda x, u, z: em_step(
+        model, params, x, u, jnp.float32(dt), noise=z))
+    x = jnp.asarray(hover_state())
+    xs, us = [np.asarray(x)], []
+    u_base = np.full((model.n_u,), model.vehicle.hover_u, np.float32)
+    for k in range(n_steps):
+        u = np.clip(
+            u_base + 0.05 * np.sin(0.05 * k + np.arange(model.n_u))
+            + 0.01 * rs.randn(model.n_u), 1e-4, 1.0
+        ).astype(np.float32)
+        key, sub = jax.random.split(key)
+        x = step(x, jnp.asarray(u), jax.random.normal(sub, (13,)))
+        xs.append(np.asarray(x))
+        us.append(u)
+    t = np.arange(n_steps + 1) * dt
+    return t[:-1], np.stack(xs[:-1]), np.stack(us)
+
+
+def test_kstep_errors_ranks_models(true_and_init):
+    """learning/evaluate.kstep_errors: the true model predicts its own data
+    far better than a mis-identified one, and error grows with k."""
+    from sde4mbrl_px4_tpu.learning.evaluate import kstep_errors
+
+    model, true_params, _ = true_and_init
+    t, x, u = _generate_flight_data(true_params, model, n_steps=300)
+    rep_true = kstep_errors(model, true_params, t, x, u, ks=(1, 10),
+                            max_windows=64)
+    assert rep_true["k1"]["pos_rmse_m"] < 1e-4       # data IS this model
+    assert rep_true["k10"]["pos_rmse_m"] < 1e-3
+    assert rep_true["k10"]["pos_rmse_m"] >= rep_true["k1"]["pos_rmse_m"]
+    assert rep_true["k10"]["horizon_s"] == pytest.approx(0.2)
+
+    bad = jax.tree.map(jnp.asarray, true_params)
+    bad["motor"]["log_gain"] = bad["motor"]["log_gain"] + 0.2
+    rep_bad = kstep_errors(model, bad, t, x, u, ks=(10,), max_windows=64)
+    assert rep_bad["k10"]["pos_rmse_m"] > 10 * rep_true["k10"]["pos_rmse_m"]
+
+
+def test_calibration_detects_overconfidence(true_and_init):
+    """learning/evaluate.calibration: ensemble coverage is sane for the
+    true stochastic model and collapses when the diffusion is deflated."""
+    from sde4mbrl_px4_tpu.learning.evaluate import calibration
+
+    model, true_params, _ = true_and_init
+    t, x, u = _generate_stochastic_flight(true_params, model, n_steps=300)
+    rep = calibration(model, true_params, t, x, u, k=5, num_particles=128,
+                      max_windows=32, seed=1)
+    cov90 = rep["coverage"]["0.90"]
+    assert 0.6 < cov90 <= 1.0, rep                   # roughly calibrated
+    assert 0.3 < rep["spread_ratio"] < 3.0, rep
+
+    deflated = jax.tree.map(jnp.asarray, true_params)
+    deflated["diffusion_log_scale"] = deflated["diffusion_log_scale"] - 3.0
+    rep_lo = calibration(model, deflated, t, x, u, k=5, num_particles=128,
+                         max_windows=32, seed=1)
+    assert rep_lo["coverage"]["0.90"] < cov90 - 0.2, (rep_lo, rep)
+    assert rep_lo["spread_ratio"] < rep["spread_ratio"]
