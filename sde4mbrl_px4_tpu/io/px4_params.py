@@ -22,6 +22,8 @@ from __future__ import annotations
 import os
 from typing import Dict, Tuple, Union
 
+import numpy as np
+
 __all__ = [
     "parse_params_file",
     "dump_params_file",
@@ -57,12 +59,34 @@ def parse_params_file(path: str) -> Dict[str, ParamValue]:
             _vid, _cid, name, value_s, type_s = fields
             try:
                 type_code = int(type_s)
-                value: ParamValue = (
-                    int(float(value_s)) if type_code in MAV_PARAM_INT_TYPES
-                    else float(value_s)
-                )
+                if type_code in MAV_PARAM_INT_TYPES:
+                    # int() directly so 64-bit values survive exactly (a
+                    # float round-trip corrupts > 2^53); PX4 exporters may
+                    # still write int params as "4.000000" — accept only a
+                    # LOSSLESS float form.
+                    try:
+                        value: ParamValue = int(value_s)
+                    except ValueError:
+                        f_val = float(value_s)
+                        if f_val != int(f_val):
+                            raise ValueError(
+                                f"fractional value {value_s!r} on an "
+                                f"integer-typed param"
+                            )
+                        value = int(f_val)
+                else:
+                    value = float(value_s)
             except ValueError as e:
                 raise ValueError(f"{path}:{lineno}: {e}") from None
+            if name in params and params[name] != value:
+                # Multi-component dumps are a different namespace per
+                # component; flattening last-wins would push the wrong
+                # value to the wrong component. Refuse loudly.
+                raise ValueError(
+                    f"{path}:{lineno}: duplicate param {name!r} with "
+                    f"conflicting values ({params[name]!r} vs {value!r}); "
+                    f"multi-component dumps are not supported"
+                )
             params[name] = value
     return params
 
@@ -79,10 +103,10 @@ def dump_params_file(path: str, params: Dict[str, ParamValue],
     lines.append("# Vehicle-Id Component-Id Name Value Type")
     for name in sorted(params):
         v = params[name]
-        if isinstance(v, bool):
+        if isinstance(v, (bool, getattr(np, "bool_", bool))):
             raise TypeError(f"param {name}: bool is not a firmware type")
-        if isinstance(v, int):
-            value_s, code = str(v), 6
+        if isinstance(v, (int, np.integer)):
+            value_s, code = str(int(v)), 6
         else:
             value_s, code = f"{float(v):.18f}", 9
         lines.append(f"{vehicle_id}\t{component_id}\t{name}\t{value_s}\t{code}")

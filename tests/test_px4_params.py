@@ -34,6 +34,38 @@ def test_roundtrip(tmp_path):
     assert isinstance(back["B_FLOAT"], float)
 
 
+def test_int_fidelity_and_numpy_types(tmp_path):
+    import numpy as np
+
+    # 64-bit int params survive exactly (no float round-trip > 2^53)
+    p = tmp_path / "big.params"
+    p.write_text("1\t1\tBIG64\t9007199254740993\t8\n1\t1\tEXP\t4.000000\t6\n")
+    d = parse_params_file(str(p))
+    assert d["BIG64"] == 9007199254740993
+    assert d["EXP"] == 4 and isinstance(d["EXP"], int)
+    # fractional value on an int-typed line is an error, not a truncation
+    p.write_text("1\t1\tX\t4.7\t6\n")
+    with pytest.raises(ValueError, match="fractional"):
+        parse_params_file(str(p))
+    # numpy integer values keep the integer firmware type on dump
+    out = str(tmp_path / "np.params")
+    dump_params_file(out, {"RATE": np.int32(921600), "GAIN": np.float32(0.5)})
+    back = parse_params_file(out)
+    assert back["RATE"] == 921600 and isinstance(back["RATE"], int)
+    assert isinstance(back["GAIN"], float)
+
+
+def test_duplicate_conflict_raises(tmp_path):
+    p = tmp_path / "dup.params"
+    # same param on two components with different values: refuse
+    p.write_text("1\t1\tBAT1_N_CELLS\t4\t6\n1\t2\tBAT1_N_CELLS\t6\t6\n")
+    with pytest.raises(ValueError, match="duplicate"):
+        parse_params_file(str(p))
+    # exact repeat is harmless
+    p.write_text("1\t1\tBAT1_N_CELLS\t4\t6\n1\t1\tBAT1_N_CELLS\t4\t6\n")
+    assert parse_params_file(str(p)) == {"BAT1_N_CELLS": 4}
+
+
 def test_parse_rejects_malformed(tmp_path):
     p = tmp_path / "bad.params"
     p.write_text("1\t1\tNAME_ONLY\n")

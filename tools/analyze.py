@@ -211,6 +211,9 @@ def main():
     args = ap.parse_args()
 
     if args.live:
+        if args.scene:
+            ap.error("--scene is post-hoc only (needs a recorded log); "
+                     "run it on the npz after the flight")
         live_main(args.live, args.out or "live_view.png",
                   refresh_s=args.refresh, duration_s=args.duration)
         return

@@ -48,9 +48,11 @@ def main():
     params, meta = load_params(ckpt)
 
     t, x, u = sequence_from_flight_log(args.log, n_u=model.n_u)
-    if t.shape[0] < 8:
-        sys.exit(f"error: log has only {t.shape[0]} commanded samples")
     ks = tuple(int(k) for k in args.ks.split(","))
+    need = max(max(ks), args.calib_k) + 2
+    if t.shape[0] < need:
+        sys.exit(f"error: log has only {t.shape[0]} commanded samples; "
+                 f"need >= {need} for the requested horizons")
 
     report = evaluate_model(model, params, t, x, u, ks=ks,
                             calib_k=args.calib_k, num_particles=args.particles)
