@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--log", default=None, help="write an .npz flight log")
     ap.add_argument("--no-pipeline", action="store_true",
                     help="blocking solver dispatch (pipeline off)")
+    ap.add_argument("--vehicle", default="iris", choices=("iris", "hexa"),
+                    help="airframe: picks configs/<vehicle>_{traj,posctrl}"
+                         "_mpc.yaml and the matching model checkpoint")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +50,7 @@ def main():
     from sde4mbrl_px4_tpu.io.mavlink import MavlinkUDP
     from sde4mbrl_px4_tpu.models.sde_model import NeuralSDE
     from sde4mbrl_px4_tpu.models.params_io import load_params
-    from sde4mbrl_px4_tpu.models.vehicles import iris_config
+    from sde4mbrl_px4_tpu.models.vehicles import vehicle_from_name
     from sde4mbrl_px4_tpu.sim.plant import FCUSim, SDEPlant
     from sde4mbrl_px4_tpu.core.frames import enu2ned
     from sde4mbrl_px4_tpu.io.flight_log import FlightRecorder
@@ -64,8 +67,8 @@ def main():
 
     print("== compiling engine (two MPC solvers) ==", flush=True)
     node = SDEControlNode(
-        os.path.join(here, "configs/iris_traj_mpc.yaml"),
-        os.path.join(here, "configs/iris_posctrl_mpc.yaml"),
+        os.path.join(here, f"configs/{args.vehicle}_traj_mpc.yaml"),
+        os.path.join(here, f"configs/{args.vehicle}_posctrl_mpc.yaml"),
         seed=0,
         now_fn=clock,
         pipeline=not args.no_pipeline,
@@ -74,8 +77,9 @@ def main():
     node.serve_mavlink(f"127.0.0.1:{args.port}")
 
     # Plant: same learned model as the controller (perfect-model experiment).
-    params, _ = load_params(os.path.join(here, "configs/models/iris_sde.pkl"))
-    model = NeuralSDE(vehicle=iris_config())
+    params, _ = load_params(
+        os.path.join(here, f"configs/models/{args.vehicle}_sde.pkl"))
+    model = NeuralSDE(vehicle=vehicle_from_name(args.vehicle))
     plant = SDEPlant(model, params, sim_dt=0.005)
     # state_from_traj is ENU at the API boundary; the plant runs NED.
     start = np.array(enu2ned(node.ctrl.traj.state_from_traj(0.0)))
