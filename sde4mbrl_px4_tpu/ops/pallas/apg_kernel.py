@@ -174,7 +174,11 @@ def pallas_apg_solve(
             slew_c_coeff = SC[0, 4]
             disc3 = DS[:, :, None] if DS.ndim == 2 else DS      # (H,1,1)
             cc = uerr * disc3 * du * du                          # (H,K,n)
-            uprev_b = jnp.broadcast_to(uprev[None, :, 0:n], (1, K, n))
+            # lax.slice + reshape, NOT uprev[None, :, 0:n]: mixed None+slice
+            # indexing lowers through gather, which Mosaic rejects when
+            # nZ > n (prox-slack augmented decision columns).
+            uprev_ctrl = jax.lax.slice_in_dim(uprev, 0, n, axis=1)  # (1, n)
+            uprev_b = jnp.broadcast_to(uprev_ctrl.reshape(1, 1, n), (1, K, n))
             if H > 1:
                 prev = jnp.concatenate([uprev_b, U_ctrl[:-1]], axis=0)
             else:
