@@ -1,11 +1,17 @@
 #!/usr/bin/env python
 """TPU compile+timing check for the fused kernels after structural changes.
 
-Run on the real chip (no platform override). Checks:
+Run on the real chip (no platform override). Interpret-mode parity tests
+do NOT exercise Mosaic lowering, so every kernel code-path VARIANT must
+compile on the device once (a gather in the prox-slack branch once slipped
+through a fully-green CPU suite). Checks:
 1. P=1 mega-kernel solve (flagship path) still compiles and matches its
    previous latency class;
 2. P=1024 chunked (chunk=128) fused solve compiles and reports latency at
-   the reference's 200-iteration budget (VERDICT round-1 item 2).
+   the reference's 200-iteration budget (VERDICT round-1 item 2);
+3. proximal-slack state constraints (nZ > n_u decision columns);
+4. penalty-form state constraints (has_sc without prox);
+5. small-P stochastic kernel (noise branch, P=64 fused).
 """
 import os
 import sys
@@ -71,6 +77,27 @@ def main():
     print(f"P=1024 chunked mega (200 iters): compile+warm {time.time()-t0:.0f}s, "
           f"{dt_s*1e3:.1f} ms/solve, steps={float(sol.opt_state.num_steps):.0f}",
           flush=True)
+
+    # 3) prox-slack branch + 4) penalty branch + 5) P=64 noise branch
+    for label, mutate in (
+        ("prox-slack", None),
+        ("penalty-sc", lambda c: c["state_constr"].__setitem__("slack_proximal", False)),
+        ("P=64 noise", lambda c: (c.pop("state_constr"),
+                                  c.__setitem__("num_particles", 64))),
+    ):
+        t0 = time.time()
+        cfg = load_yaml_config(
+            os.path.join(HERE, "configs", "iris_constr_posctrl_mpc.yaml"))
+        if mutate is not None:
+            mutate(cfg)
+        _, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(dict(cfg), use_pallas=True)
+        x0 = hover_state()
+        st = reset_fn(x0, rng, x0)
+        jm = jax.jit(mpc_fn)
+        dt_s, sol = timeit(jm, x0, rng, st, jnp.float32(0.0), x0, n=5)
+        print(f"{label}: compile+warm {time.time()-t0:.0f}s, "
+              f"{dt_s*1e3:.2f} ms/solve, "
+              f"steps={float(sol.opt_state.num_steps):.0f}", flush=True)
     print("OK", flush=True)
 
 
