@@ -299,19 +299,27 @@ def make_mpc_from_config(
                 # program (ops/pallas/apg_kernel.py).
                 from sde4mbrl_px4_tpu.ops.pallas.apg_kernel import pallas_apg_solve
 
+                # Deterministic P=1 (the flight configs): the kernel's exit
+                # sweep already rolled best_u's mean trajectory — export it
+                # instead of paying a second kernel launch for x_evol.
+                fuse_traj = P <= 1 and not pallas_chunk
                 st = pallas_apg_solve(
                     model, params, cost_params, apg_cfg, time_steps, x, x_ref,
                     u_prev, noise_p, P, lb_z, ub_z, opt_state.yk,
                     interpret=pallas_interpret, chunk=pallas_chunk,
+                    t_init=opt_state.stepsize, return_traj=fuse_traj,
                 )
-                oracle = pallas_cost_oracle(
-                    model, params, cost_params, time_steps, x, x_ref, u_prev,
-                    noise_p, P, apg_cfg.maxls, interpret=pallas_interpret,
-                    chunk=pallas_chunk,
-                )
+                if fuse_traj:
+                    st, x_evol = st
                 z_opt = st.yk                       # (H, nZ)
                 u_opt = z_opt[:, :n_u] if prox_m else z_opt
-                x_evol = oracle.trajectory(z_opt)
+                if not fuse_traj:
+                    oracle = pallas_cost_oracle(
+                        model, params, cost_params, time_steps, x, x_ref,
+                        u_prev, noise_p, P, apg_cfg.maxls,
+                        interpret=pallas_interpret, chunk=pallas_chunk,
+                    )
+                    x_evol = oracle.trajectory(z_opt)
                 yk_next = jnp.concatenate([z_opt[1:], z_opt[-1:]], axis=0)
                 return MPCSolution(
                     u_opt=u_opt, opt_state=st._replace(yk=yk_next),
@@ -346,7 +354,11 @@ def make_mpc_from_config(
                 return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev[:n_u],
                                s_seq=s_seq)
 
-        st = apg_solve(seq_cost, opt_state.yk, lb_z, ub_z, apg_cfg)
+        # Carry the previous solve's linesearch stepsize (APGState.stepsize,
+        # ``sde_control.py:444-450``) so warm solves skip the
+        # init_stepsize->workable ramp (~13 iterations at x1.3; measured).
+        st = apg_solve(seq_cost, opt_state.yk, lb_z, ub_z, apg_cfg,
+                       t_init=opt_state.stepsize)
         z_opt = st.yk                               # (H, nZ)
         u_opt = z_opt[:, :n_u] if prox_m else z_opt
 

@@ -78,8 +78,22 @@ def pallas_apg_solve(
     interpret: bool = False,
     deterministic: bool | None = None,
     chunk: int = 0,
+    t_init: jax.Array | None = None,
+    return_traj: bool = False,
 ) -> APGState:
-    """One fused APG solve -> APGState (yk = best iterate, unshifted)."""
+    """One fused APG solve -> APGState (yk = best iterate, unshifted).
+
+    ``return_traj=True`` (deterministic, unchunked solves only) additionally
+    returns the (H+1, 13) mean state trajectory of the best iterate —
+    recovered for free from the exit gradient sweep's stashed forward states,
+    eliminating the separate mean-trajectory kernel launch the engine would
+    otherwise pay per solve. Returns ``(APGState, x_evol)``.
+
+    ``t_init`` carries the previous solve's accepted linesearch stepsize
+    (``APGState.stepsize``) so warm receding-horizon solves skip the
+    ``init_stepsize``->workable ramp — semantics identical to
+    ``solver/apg.py::apg_solve(t_init=...)`` (non-positive falls back to
+    ``init_stepsize``)."""
     H = int(time_steps.shape[0])
     n = model.n_u
     P = int(num_particles)
@@ -109,15 +123,22 @@ def pallas_apg_solve(
     COEF = float(apg.coef)
     TMAX = float(apg.max_stepsize)
     CONSERVATIVE = apg.reset_option != "increase"
+    MOM_RESTART = bool(apg.momentum_restart)
+    if return_traj and not (deterministic and Pc == 1 and not chunk):
+        raise ValueError(
+            "return_traj requires a deterministic unchunked P=1 solve (the "
+            "stashed forward states equal the mean trajectory only there)")
+    n_out = 3 if return_traj else 2
 
-    def _kernel(u0_ref, *refs):
+    def _kernel(u0_ref, t0_ref, *refs):
         const_refs = refs[:n_const]
         out_u_ref = refs[n_const]
         out_stats_ref = refs[n_const + 1]        # (1, 8)
-        xs_ref = refs[n_const + 2]               # (H+1, Pc, 13) scratch
-        g_ref = refs[n_const + 3]                # (H, 1, nZ) scratch
-        cand_ref = refs[n_const + 4]             # (H, K, nZ) scratch
-        u_scr = refs[n_const + 5]                # (H, 1, nZ) scratch: the
+        out_x_ref = refs[n_const + 2] if return_traj else None  # (H+1,1,13)
+        xs_ref = refs[n_const + n_out]           # (H+1, Pc, 13) scratch
+        g_ref = refs[n_const + n_out + 1]        # (H, 1, nZ) scratch
+        cand_ref = refs[n_const + n_out + 2]     # (H, K, nZ) scratch
+        u_scr = refs[n_const + n_out + 3]        # (H, 1, nZ) scratch: the
         # iterate being differentiated (fori bodies need dynamic per-step
         # reads, which only refs support)
 
@@ -208,12 +229,12 @@ def pallas_apg_solve(
         f0 = vg(u0)
 
         def cond(c):
-            (k, u, y, f_u, t, best_f, best_u, no_imp, done,
+            (k, k_m, u, y, f_u, t, best_f, best_u, no_imp, done,
              sum_t, sum_ls) = c
             return jnp.logical_and(k < apg.max_iter, jnp.logical_not(done))
 
         def body(c):
-            (k, u, y, f_u, t, best_f, best_u, no_imp, done,
+            (k, k_m, u, y, f_u, t, best_f, best_u, no_imp, done,
              sum_t, sum_ls) = c
             f_y = vg(y)
             g3 = g_ref[:]
@@ -240,12 +261,16 @@ def pallas_apg_solve(
             u_new = jnp.where(ok_b, u_trial, u)
             f_new = jnp.where(ok_b, f_new_s, f_u)
 
-            kf = k.astype(f32)
+            # Momentum schedule counter: with ``momentum_restart`` the
+            # counter resets on adaptive restart so beta re-grows from
+            # beta_init (matches solver/apg.py; see APGConfig).
+            kf = (k_m if MOM_RESTART else k).astype(f32)
             beta = (jnp.float32(apg.moment_scale)
                     if apg.moment_scale is not None
                     else jnp.maximum(kf / (kf + 3.0), apg.beta_init))
             restart = jnp.logical_or(jnp.logical_not(ok_b), f_new > f_u)
             y_new = jnp.where(restart, u_new, u_new + beta * (u_new - u))
+            k_m_new = jnp.where(restart, jnp.int32(0), k_m + 1)
 
             improved = f_new < best_f - 1e-12
             best_f2 = jnp.minimum(f_new, best_f)
@@ -255,13 +280,13 @@ def pallas_apg_solve(
             converged = jnp.logical_and(ok_b, df_ <= apg.atol + apg.rtol * jnp.abs(f_u))
             done2 = jnp.logical_or(converged, no_imp2 >= apg.max_no_improvement_iter)
 
-            return (k + 1, u_new, y_new, f_new, t_acc, best_f2, best_u2,
-                    no_imp2, done2, sum_t + t_acc, sum_ls + n_ls)
+            return (k + 1, k_m_new, u_new, y_new, f_new, t_acc, best_f2,
+                    best_u2, no_imp2, done2, sum_t + t_acc, sum_ls + n_ls)
 
-        init = (jnp.int32(0), u0, u0, f0, jnp.float32(apg.init_stepsize),
+        init = (jnp.int32(0), jnp.int32(0), u0, u0, f0, t0_ref[0, 0],
                 f0, u0, jnp.int32(0), jnp.bool_(False),
                 jnp.float32(0.0), jnp.float32(0.0))
-        (k, u, y, f_u, t, best_f, best_u, no_imp, done,
+        (k, k_m, u, y, f_u, t, best_f, best_u, no_imp, done,
          sum_t, sum_ls) = jax.lax.while_loop(cond, body, init)
 
         # exit gradient at the best iterate
@@ -270,6 +295,10 @@ def pallas_apg_solve(
         g_sqr = jnp.sum(gb * gb)
 
         out_u_ref[:] = best_u
+        if return_traj:
+            # xs_ref now holds best_u's forward states (vg just ran it);
+            # deterministic P=1 => this IS the mean trajectory (x_evol).
+            out_x_ref[:] = xs_ref[:]
         n_steps = jnp.maximum(k.astype(f32), 1.0)
         stats = jnp.concatenate([
             jnp.reshape(k.astype(f32), (1, 1)),
@@ -283,14 +312,28 @@ def pallas_apg_solve(
         ], axis=1)
         out_stats_ref[:] = stats
 
-    out_u, out_stats = pl.pallas_call(
+    # Resolve the initial stepsize outside the kernel (carried stepsize if
+    # positive, else the config's ramp start) and feed it as an SMEM scalar.
+    if t_init is None:
+        t0v = jnp.float32(apg.init_stepsize)
+    else:
+        ti = jnp.asarray(t_init, f32)
+        t0v = jnp.where(ti > 0.0, jnp.clip(ti, 1e-6, TMAX),
+                        jnp.float32(apg.init_stepsize))
+    t0_arr = jnp.reshape(t0v, (1, 1))
+
+    _smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((H, 1, nZ), f32),
+        jax.ShapeDtypeStruct((1, 8), f32),
+    ]
+    if return_traj:
+        out_shape.append(jax.ShapeDtypeStruct((H + 1, 1, 13), f32))
+    outs = pl.pallas_call(
         _kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((H, 1, nZ), f32),
-            jax.ShapeDtypeStruct((1, 8), f32),
-        ),
-        in_specs=[_vmem] + const_specs,
-        out_specs=(_vmem, _vmem),
+        out_shape=tuple(out_shape),
+        in_specs=[_vmem, _smem] + const_specs,
+        out_specs=(_vmem,) * len(out_shape),
         scratch_shapes=[
             pltpu.VMEM((H + 1, Pc, 13), jnp.float32),
             pltpu.VMEM((H, 1, nZ), jnp.float32),
@@ -298,9 +341,10 @@ def pallas_apg_solve(
             pltpu.VMEM((H, 1, nZ), jnp.float32),
         ],
         interpret=interpret,
-    )(u_init.astype(f32).reshape(H, 1, nZ), *consts)
+    )(u_init.astype(f32).reshape(H, 1, nZ), t0_arr, *consts)
+    out_u, out_stats = outs[0], outs[1]
 
-    return APGState(
+    st = APGState(
         yk=out_u.reshape(H, nZ),
         num_steps=out_stats[0, 0],
         stepsize=out_stats[0, 1],
@@ -310,3 +354,6 @@ def pallas_apg_solve(
         init_cost=out_stats[0, 5],
         opt_cost=out_stats[0, 6],
     )
+    if return_traj:
+        return st, outs[2][:, 0, :]
+    return st

@@ -86,6 +86,15 @@ class APGConfig(NamedTuple):
     # first, so "first accept" == "largest passing". The batched rollout
     # costs about the same as a single one on TPU (op-issue-latency bound).
     vector_linesearch: bool = True
+    # Adaptive restart scope (O'Donoghue & Candes 2015): on a restart
+    # (linesearch failure or cost increase) also reset the momentum COUNTER
+    # so beta re-grows from beta_init, instead of only dropping the
+    # extrapolation for one step while beta_k = k/(k+3) keeps climbing
+    # toward 1 (which locks warm solves into oscillation; measured: tail
+    # solves pinned at max_iter without it). The reference pins the beta_k
+    # SCHEDULE (schema comment, ``iris_sitl_traj_mpc.yaml:62-64``) but
+    # leaves restart internals unspecified (external library, SURVEY §2.9).
+    momentum_restart: bool = True
 
     @staticmethod
     def from_config(cfg: Dict[str, Any]) -> "APGConfig":
@@ -101,6 +110,7 @@ class APGConfig(NamedTuple):
             atol=float(a.get("atol", 1e-8)),
             rtol=float(a.get("rtol", 1e-6)),
             use_linesearch=ls is not None,
+            momentum_restart=bool(a.get("momentum_restart", True)),
         )
         if ls is not None:
             kw.update(
@@ -145,6 +155,7 @@ def _default_stats(y0: jax.Array) -> APGState:
 
 class _Carry(NamedTuple):
     k: jax.Array
+    k_m: jax.Array           # momentum counter (resets on adaptive restart)
     u: jax.Array             # accepted iterate
     y: jax.Array             # extrapolated (momentum) point
     f_u: jax.Array           # cost at accepted iterate
@@ -163,6 +174,7 @@ def apg_solve(
     lb: jax.Array,
     ub: jax.Array,
     cfg: APGConfig,
+    t_init: Optional[jax.Array] = None,
 ) -> APGState:
     """Minimize ``cost_fn`` over box-constrained control sequences.
 
@@ -171,6 +183,15 @@ def apg_solve(
     supplying fused value / batched-value / value-and-grad evaluations.
     Returns the final :class:`APGState` whose ``yk`` holds the best iterate
     found (NOT yet shifted; the engine performs the receding-horizon shift).
+
+    ``t_init``: optional carried linesearch stepsize from the previous
+    receding-horizon solve (``APGState.stepsize`` — the field exists in the
+    reference's solver state precisely so warm solves resume from it,
+    ``sde_control.py:444-450``). Without it every warm solve re-ramps from
+    ``init_stepsize`` (0.01) at ×``increase_factor``/iteration — ~13 wasted
+    iterations to reach a workable step on the flight configs (measured on
+    v5e; see ``tools/tpu_decompose_solve.py``). Non-positive values fall
+    back to ``init_stepsize`` (so a fresh ``reset_fn`` state is unchanged).
     """
     oracle = cost_fn if isinstance(cost_fn, CostOracle) else CostOracle.from_fn(cost_fn)
     cost_fn = oracle.value
@@ -269,8 +290,10 @@ def apg_solve(
 
         # Nesterov momentum: beta_k = k/(k+3) (moment_scale null), floored by
         # beta_init at k=0; constant moment_scale otherwise. Momentum drops
-        # (adaptive restart) on linesearch failure or cost increase.
-        kf = c.k.astype(jnp.float32)
+        # (adaptive restart) on linesearch failure or cost increase; with
+        # ``momentum_restart`` the schedule counter k_m also resets so beta
+        # re-grows from beta_init (see APGConfig).
+        kf = (c.k_m if cfg.momentum_restart else c.k).astype(jnp.float32)
         beta = (
             jnp.float32(cfg.moment_scale)
             if cfg.moment_scale is not None
@@ -278,6 +301,7 @@ def apg_solve(
         )
         restart = jnp.logical_or(jnp.logical_not(ok), f_new > c.f_u)
         y_new = jnp.where(restart, u_new, u_new + beta * (u_new - c.u))
+        k_m_new = jnp.where(restart, jnp.int32(0), c.k_m + 1)
 
         improved = f_new < c.best_f - 1e-12
         best_f = jnp.minimum(f_new, c.best_f)
@@ -293,6 +317,7 @@ def apg_solve(
 
         return _Carry(
             k=c.k + 1,
+            k_m=k_m_new,
             u=u_new,
             y=y_new,
             f_u=f_new,
@@ -305,12 +330,18 @@ def apg_solve(
             sum_ls=c.sum_ls + n_ls.astype(jnp.float32),
         )
 
+    t0c = jnp.float32(cfg.init_stepsize if cfg.use_linesearch else cfg.stepsize)
+    if t_init is not None and cfg.use_linesearch:
+        t0v = jnp.asarray(t_init, jnp.float32)
+        t0c = jnp.where(t0v > 0.0, jnp.clip(t0v, 1e-6, cfg.max_stepsize), t0c)
+
     init = _Carry(
         k=jnp.int32(0),
+        k_m=jnp.int32(0),
         u=u0,
         y=u0,
         f_u=f0,
-        t=jnp.float32(cfg.init_stepsize if cfg.use_linesearch else cfg.stepsize),
+        t=t0c,
         best_f=f0,
         best_u=u0,
         no_improve=jnp.int32(0),

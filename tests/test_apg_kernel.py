@@ -124,3 +124,77 @@ def test_mega_solve_chunked_particles(iris_traj_bundle):
     np.testing.assert_allclose(np.asarray(st_c.yk), np.asarray(st_w.yk),
                                rtol=5e-4, atol=5e-5)
     assert float(st_c.opt_cost) == pytest.approx(float(st_w.opt_cost), rel=2e-4)
+
+
+def test_mega_solve_parity_stepsize_carry(iris_traj_bundle):
+    """Warm solve with a carried t_init: kernel and XLA paths must stay in
+    lockstep (same iterations, same iterate)."""
+    cfg, fns, sft, b = iris_traj_bundle
+    H, n = 20, b.model.n_u
+    apg = b.apg_config._replace(max_iter=10, max_no_improvement_iter=10)
+    cp = b.cost_params
+    rng = jax.random.PRNGKey(0)
+    x0 = hover_state().at[0].set(0.3).at[3].set(0.2)
+    x_ref = jnp.broadcast_to(hover_state(), (H + 1, 13))
+    u_prev = cp.uref
+    u_init = jnp.broadcast_to(cp.uref, (H, n)) + 0.02
+    noise = jnp.zeros((1, H, 13), jnp.float32)
+    cost_fn = make_cost_fn(cp, b.time_steps)
+
+    def seq_cost(u_seq):
+        xp, sg = rollout_sde(b.model, b.params, x0, u_seq, b.time_steps, rng,
+                             1, deterministic=True)
+        return cost_fn(xp, sg, u_seq, x_ref, u_prev)
+
+    t_carry = jnp.float32(0.31)    # mid-schedule carried stepsize
+    st_x = apg_solve(seq_cost, u_init, b.lb, b.ub, apg, t_init=t_carry)
+    st_p = pallas_apg_solve(
+        b.model, b.params, cp, apg, b.time_steps, x0, x_ref, u_prev,
+        noise, 1, b.lb, b.ub, u_init, interpret=True, deterministic=True,
+        t_init=t_carry,
+    )
+    assert int(st_p.num_steps) == int(st_x.num_steps)
+    np.testing.assert_allclose(np.asarray(st_p.yk), np.asarray(st_x.yk),
+                               rtol=2e-4, atol=2e-5)
+    assert float(st_p.stepsize) == pytest.approx(float(st_x.stepsize), rel=1e-4)
+    # carried-vs-cold must differ (proves the carry reached the kernel)
+    st_cold = pallas_apg_solve(
+        b.model, b.params, cp, apg, b.time_steps, x0, x_ref, u_prev,
+        noise, 1, b.lb, b.ub, u_init, interpret=True, deterministic=True,
+    )
+    assert float(st_cold.avg_stepsize) != pytest.approx(
+        float(st_p.avg_stepsize), rel=1e-6)
+
+
+def test_mega_solve_exported_trajectory(iris_traj_bundle):
+    """return_traj=True: the trajectory recovered from the exit sweep must
+    equal the dedicated mean-trajectory kernel's x_evol for the same plan."""
+    from sde4mbrl_px4_tpu.ops.pallas.solve_kernels import pallas_cost_oracle
+
+    cfg, fns, sft, b = iris_traj_bundle
+    H, n = 20, b.model.n_u
+    apg = b.apg_config._replace(max_iter=6, max_no_improvement_iter=6)
+    cp = b.cost_params
+    rng = jax.random.PRNGKey(0)
+    x0 = hover_state().at[0].set(0.3).at[3].set(0.2)
+    x_ref = jnp.broadcast_to(hover_state(), (H + 1, 13))
+    u_prev = cp.uref
+    u_init = jnp.broadcast_to(cp.uref, (H, n)) + 0.02
+    noise = jnp.zeros((1, H, 13), jnp.float32)
+    st, x_evol = pallas_apg_solve(
+        b.model, b.params, cp, apg, b.time_steps, x0, x_ref, u_prev,
+        noise, 1, b.lb, b.ub, u_init, interpret=True, deterministic=True,
+        return_traj=True,
+    )
+    oracle = pallas_cost_oracle(b.model, b.params, cp, b.time_steps, x0,
+                                x_ref, u_prev, noise, 1, apg.maxls,
+                                interpret=True)
+    x_ref_traj = oracle.trajectory(st.yk)
+    assert x_evol.shape == (H + 1, 13)
+    np.testing.assert_allclose(np.asarray(x_evol), np.asarray(x_ref_traj),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        pallas_apg_solve(
+            b.model, b.params, cp, apg, b.time_steps, x0, x_ref, u_prev,
+            jnp.zeros((4, H, 13), jnp.float32), 4, b.lb, b.ub, u_init,
+            interpret=True, return_traj=True)

@@ -132,3 +132,30 @@ def test_ramped_trajectories_start_at_rest():
         i_r, i_p = int(2.0 / 0.001), int(1.25 / 0.001)
         np.testing.assert_allclose(v[i_r], plain[i_p, 4:7], atol=1e-6)
         np.testing.assert_allclose(rows[i_r, 1:4], plain[i_p, 1:4], atol=1e-6)
+
+
+def test_uniform_fast_path_matches_searchsorted(circle_csv):
+    """The O(1) direct-index sampler (uniform knot grids) must produce
+    exactly what the searchsorted fallback produces; a jittered grid must
+    still route through the fallback and interpolate correctly."""
+    from sde4mbrl_px4_tpu.models.trajectory import (
+        TrajectoryTable, load_trajectory_csv, make_state_from_traj)
+
+    tab = load_trajectory_csv(circle_csv)
+    tn = np.asarray(tab.times, np.float64)
+    assert np.allclose(np.diff(tn), np.diff(tn)[0], rtol=1e-3)  # uniform grid
+
+    # fallback forced via a non-uniform COPY with identical knot values at
+    # the original times plus one extra midpoint knot
+    t_extra = 0.5 * (tn[3] + tn[4])
+    s_extra = 0.5 * (np.asarray(tab.states[3]) + np.asarray(tab.states[4]))
+    s_extra[6:10] /= np.linalg.norm(s_extra[6:10])
+    tj = np.insert(tn, 4, t_extra)
+    sj = np.insert(np.asarray(tab.states), 4, s_extra, axis=0)
+    tab_nu = TrajectoryTable(times=jnp.asarray(tj), states=jnp.asarray(sj))
+
+    fast = make_state_from_traj(tab)
+    slow = make_state_from_traj(tab_nu)
+    ts = jnp.asarray(np.linspace(tn[0] - 0.5, tn[-1] + 0.5, 97), jnp.float32)
+    np.testing.assert_allclose(np.asarray(fast(ts)), np.asarray(slow(ts)),
+                               rtol=1e-5, atol=1e-5)

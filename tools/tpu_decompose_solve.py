@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Decompose the on-device per-solve time of the flagship mega path.
+
+Chains K invocations of each stage in one jitted lax.scan (no host
+dispatch) and reports ms/invocation:
+
+  full      — mpc_fn (mega kernel + trajectory oracle + ref build + shift)
+  mega      — pallas_apg_solve alone (fixed inputs)
+  traj_orc  — oracle.trajectory alone (the x_evol kernel)
+  ref_build — state_from_traj(curr_t + knot_times) + enu2ned
+  xla_glue  — full minus kernels (derived)
+
+Motivation: BASELINE's >=100 Hz/scenario north star vs the measured
+~82-89 Hz — find whether the kernel or the glue is the next lever.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sde4mbrl_px4_tpu.compile_cache import ensure_compile_cache
+
+ensure_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+from sde4mbrl_px4_tpu.core.frames import enu2ned
+from sde4mbrl_px4_tpu.engine.mpc_loader import load_mpc_from_cfgfile
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+K = 10
+
+
+def chain_time(fn, init_carry, label, n=5):
+    """Scan fn K times inside one jit; time n repeats."""
+    def chained(carry):
+        def body(c, _):
+            return fn(c), 0.0
+        c, _ = jax.lax.scan(body, carry, jnp.arange(K))
+        return c
+
+    jc = jax.jit(chained)
+    c = jc(init_carry)
+    jax.block_until_ready(jax.tree.leaves(c)[0])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        c = jc(c)
+    jax.block_until_ready(jax.tree.leaves(c)[0])
+    per = (time.perf_counter() - t0) / (n * K)
+    print(f"{label:10s} {per*1e3:7.3f} ms/invocation", flush=True)
+    return per
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    cfg, (reset_fn, mpc_fn), sft, b = load_mpc_from_cfgfile(
+        os.path.join(HERE, "configs", "iris_traj_mpc.yaml"))
+    dt = float(cfg["_time_steps"][0])
+    rng = jax.random.PRNGKey(0)
+    T0 = 3.0
+    x = enu2ned(sft(T0))
+    st0 = reset_fn(x, rng, x)
+
+    # --- full mpc_fn chained (state feedback, like bench) ------------------
+    def full(c):
+        x, rng, st, t = c
+        u, st1, rng1, xe = mpc_fn(x, rng, st, t, x)
+        return (xe[1], rng1, st1, t + dt)
+
+    t_full = chain_time(full, (x, rng, st0, jnp.float32(T0)), "full")
+
+    # --- pieces ------------------------------------------------------------
+    from sde4mbrl_px4_tpu.ops.pallas.apg_kernel import pallas_apg_solve
+    from sde4mbrl_px4_tpu.ops.pallas.solve_kernels import pallas_cost_oracle
+
+    H = int(b.time_steps.shape[0])
+    noise = jnp.zeros((1, H, 13), jnp.float32)
+    x_ref = enu2ned(sft(T0 + b.knot_times))
+    u_prev = st0.yk[0]
+
+    # NOTE: feed yk0 back in (NOT the converged yk) and advance x_ref per
+    # call, else every chained call early-exits at ~0 iterations and this
+    # measures only the fixed overhead (observed: 2.5 ms at steps~0).
+    def mega(c):
+        k, _ = c
+        st = pallas_apg_solve(
+            b.model, b.params, b.cost_params, b.apg_config, b.time_steps,
+            x, enu2ned(sft(T0 + k * dt + b.knot_times)), u_prev, noise, 1,
+            b.lb, b.ub, st0.yk)
+        return (k + 1.0, st.num_steps)
+
+    t_mega = chain_time(mega, (jnp.float32(0), jnp.float32(0)), "mega_cold")
+    st_cold = jax.jit(mega)((jnp.float32(0), jnp.float32(0)))
+    print(f"  (cold-start steps/solve: {float(st_cold[1]):.0f})")
+
+    apg1 = b.apg_config._replace(max_iter=1)
+
+    def mega1(c):
+        k, _ = c
+        st = pallas_apg_solve(
+            b.model, b.params, b.cost_params, apg1, b.time_steps,
+            x, enu2ned(sft(T0 + k * dt + b.knot_times)), u_prev, noise, 1,
+            b.lb, b.ub, st0.yk)
+        return (k + 1.0, st.num_steps)
+
+    t_mega1 = chain_time(mega1, (jnp.float32(0), jnp.float32(0)), "mega_1iter")
+    steps_cold = float(st_cold[1])
+    per_iter = (t_mega - t_mega1) / max(steps_cold - 1.0, 1.0)
+    print(f"  fixed ~{t_mega1*1e3:.3f} ms (incl. 1 iter + ref build), "
+          f"per-iter ~{per_iter*1e3:.3f} ms")
+
+    oracle = pallas_cost_oracle(
+        b.model, b.params, b.cost_params, b.time_steps, x, x_ref, u_prev,
+        noise, 1, b.apg_config.maxls)
+
+    def traj_orc(c):
+        yk, _ = c
+        xe = oracle.trajectory(yk)
+        return (yk, xe[1, 0])
+
+    t_traj = chain_time(traj_orc, (st0.yk, jnp.float32(0)), "traj_orc")
+
+    def ref_build(c):
+        t, acc = c
+        ref = enu2ned(sft(t + b.knot_times))
+        return (t + dt, acc + ref[0, 0])
+
+    t_ref = chain_time(ref_build, (jnp.float32(T0), jnp.float32(0)), "ref_build")
+
+    glue = t_full - t_mega - t_traj
+    print(f"{'xla_glue':10s} {glue*1e3:7.3f} ms/invocation (derived; full - "
+          "mega_cold - traj_orc; mega_cold already includes a ref build)")
+    print(f"split: mega_cold {t_mega/t_full:.0%}  traj {t_traj/t_full:.0%}  "
+          f"ref {t_ref/t_full:.0%}  glue {glue/t_full:.0%}")
+
+
+if __name__ == "__main__":
+    main()
