@@ -198,3 +198,35 @@ def test_mega_solve_exported_trajectory(iris_traj_bundle):
             b.model, b.params, cp, apg, b.time_steps, x0, x_ref, u_prev,
             jnp.zeros((4, H, 13), jnp.float32), 4, b.lb, b.ub, u_init,
             interpret=True, return_traj=True)
+
+
+def test_mega_solve_parity_no_momentum_restart(iris_traj_bundle):
+    """momentum_restart=False (global k/(k+3) schedule) must also stay in
+    kernel/XLA lockstep — the flag is YAML-exposed, so both variants are
+    contract surface."""
+    cfg, fns, sft, b = iris_traj_bundle
+    H, n = 20, b.model.n_u
+    apg = b.apg_config._replace(max_iter=10, max_no_improvement_iter=10,
+                                momentum_restart=False)
+    cp = b.cost_params
+    rng = jax.random.PRNGKey(0)
+    x0 = hover_state().at[0].set(0.3).at[3].set(0.2)
+    x_ref = jnp.broadcast_to(hover_state(), (H + 1, 13))
+    u_prev = cp.uref
+    u_init = jnp.broadcast_to(cp.uref, (H, n)) + 0.02
+    noise = jnp.zeros((1, H, 13), jnp.float32)
+    cost_fn = make_cost_fn(cp, b.time_steps)
+
+    def seq_cost(u_seq):
+        xp, sg = rollout_sde(b.model, b.params, x0, u_seq, b.time_steps, rng,
+                             1, deterministic=True)
+        return cost_fn(xp, sg, u_seq, x_ref, u_prev)
+
+    st_x = apg_solve(seq_cost, u_init, b.lb, b.ub, apg)
+    st_p = pallas_apg_solve(
+        b.model, b.params, cp, apg, b.time_steps, x0, x_ref, u_prev,
+        noise, 1, b.lb, b.ub, u_init, interpret=True, deterministic=True)
+    assert int(st_p.num_steps) == int(st_x.num_steps)
+    np.testing.assert_allclose(np.asarray(st_p.yk), np.asarray(st_x.yk),
+                               rtol=2e-4, atol=2e-5)
+    assert float(st_p.opt_cost) == pytest.approx(float(st_x.opt_cost), rel=2e-4)

@@ -82,7 +82,23 @@ def main():
         steps = float(jax.jit(make_mega(apg, **kw))((jnp.float32(0),
                                                      jnp.float32(0)))[1])
         print(f"  steps={steps:.0f}  per-iter ~{(t*1e3)/max(steps,1):.4f} ms "
-              "(incl. fixed)", flush=True)
+              "(incl. fixed; steps from call 0 only)", flush=True)
+
+    # ---- clean per-iter: force EXACTLY N iterations (no early exit) -------
+    print("\nforced-iteration per-iter (atol=rtol=0, no stagnation exit):",
+          flush=True)
+    for label, mr in (("restart on", True), ("restart off", False)):
+        ts = {}
+        for n_it in (1, 100):
+            apg = b.apg_config._replace(
+                momentum_restart=mr, max_iter=n_it, atol=0.0, rtol=0.0,
+                max_no_improvement_iter=10**6)
+            ts[n_it] = chain_time(make_mega(apg),
+                                  (jnp.float32(0), jnp.float32(0)),
+                                  f"  {label} max_iter={n_it}")
+        per = (ts[100] - ts[1]) / 99.0
+        print(f"  {label}: per-iter {per*1e3:.4f} ms, fixed "
+              f"~{(ts[1] - per)*1e3:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
