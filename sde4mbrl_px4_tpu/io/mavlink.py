@@ -252,7 +252,14 @@ class MavlinkUDP:
         self.sock.settimeout(timeout if blocking else 0.0)
         try:
             while True:
-                buf, peer = self.sock.recvfrom(512)
+                # A connected (udpout) socket surfaces ICMP port-unreachable
+                # as ConnectionRefusedError when the peer is not up yet
+                # (e.g. fcu_sim launched before the engine). UDP MAVLink is
+                # lossy by contract — swallow and keep listening.
+                try:
+                    buf, peer = self.sock.recvfrom(512)
+                except ConnectionRefusedError:
+                    continue
                 if self.mode == "udpin":
                     self._peer = peer
                 msg = decode_frame(buf)
@@ -264,12 +271,15 @@ class MavlinkUDP:
             return None
 
     def _send(self, frame: bytes):
-        if self.mode == "udpin":
-            if self._peer is None:
-                raise RuntimeError("no peer yet; receive first (server mode)")
-            self.sock.sendto(frame, self._peer)
-        else:
-            self.sock.send(frame)
+        try:
+            if self.mode == "udpin":
+                if self._peer is None:
+                    raise RuntimeError("no peer yet; receive first (server mode)")
+                self.sock.sendto(frame, self._peer)
+            else:
+                self.sock.send(frame)
+        except ConnectionRefusedError:
+            pass  # peer not up yet — UDP datagrams drop, they don't fail
         self.seq = (self.seq + 1) & 0xFF
 
     def send_full_state(self, time_usec: int, state13, motors4=None):

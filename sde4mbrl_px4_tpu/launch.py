@@ -8,7 +8,10 @@ sde4mbrl_px4_tpu.launch configs/launch/iris_sdectrl.yaml`` brings it up:
 - ``node: sde_control`` — the async MPC engine serving the MAVLink UDP
   side-channel (plus the mission REPL on stdin when ``--repl``);
 - ``node: geometric_controller`` — the native baseline controller bound to
-  the same transport.
+  the same transport;
+- ``node: router`` — the MAVLink fan-out (``sitl_route_mavlink.sh``);
+- ``node: fcu_sim`` — the SITL plant (the ``px4_sitl.launch`` /
+  ``hexa_px4.launch`` Gazebo analogue, ``sim/sitl.py``).
 """
 from __future__ import annotations
 
@@ -173,6 +176,34 @@ def launch_router(cfg: Dict[str, Any]):
         router.stop()
 
 
+def launch_fcu_sim(cfg: Dict[str, Any]):
+    """Start the SITL plant node (the reference's ``px4_sitl.launch``
+    bring-up: a simulated FCU streaming MPC_FULL_STATE and consuming
+    MPC_MOTORS_CMD, SURVEY.md §4). The plant runs on the host CPU — the
+    accelerator belongs to the engine process (sim/plant.py:56-60)."""
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    from sde4mbrl_px4_tpu.sim.sitl import fcu_sim_from_config
+
+    node = fcu_sim_from_config(cfg)
+    node.start()
+    print(f"[launch] fcu_sim ({cfg.get('vehicle', 'iris')}) streaming "
+          f"MPC_FULL_STATE to udp:{node.addr} at "
+          f"{1.0 / node.fcu.state_dt:.0f} Hz", flush=True)
+    print("[launch] READY", flush=True)
+    try:
+        while True:
+            time.sleep(1.0)
+            print(f"[fcu_sim] t={node.fcu.plant.t:7.2f}s "
+                  f"pos_ned={np.round(node.fcu.plant.x[:3], 3).tolist()} "
+                  f"status={node.fcu.status}", flush=True)
+    except KeyboardInterrupt:
+        node.stop()
+    return node
+
+
 def launch_from_file(path: str, repl: bool = False):
     cfg = _load(path)
     node_type = cfg.get("node", "sde_control")
@@ -182,6 +213,8 @@ def launch_from_file(path: str, repl: bool = False):
         return launch_geometric(cfg)
     if node_type == "router":
         return launch_router(cfg)
+    if node_type == "fcu_sim":
+        return launch_fcu_sim(cfg)
     raise ValueError(f"unknown node type {node_type!r}")
 
 
