@@ -418,7 +418,11 @@ class RecedingHorizonController:
         self.u_plan[: u_opt.shape[0], : u_opt.shape[1]] = u_opt
         self.w_plan[: w_opt.shape[0]] = w_opt
         self.plan_sample_time_usec = float(sample_time_usec)
-        self.plan_is_traj = mode in ("traj", "idle")
+        # Pickup metadata follows the solver that PRODUCED the plan: idle
+        # publishes the pos solve (the traj solver only pre-warms), so only
+        # 'traj' plans index with the traj solver's horizon/n_u/dt — the
+        # reference sizes u_shape the same way (``sde_control.py:293``).
+        self.plan_is_traj = mode == "traj"
 
         avg_ls, stepsize, num_steps, grad_sqr, avg_stepsize, c0, cT = stats_host
         self.last_record = OptMPCStateRecord(
