@@ -280,9 +280,11 @@ def _bench_particles(here, _log, P=1024):
     cfg = load_yaml_config(os.path.join(here, "configs", "iris_posctrl_mpc.yaml"))
     cfg["num_particles"] = P
     # Full reference iteration budget (max_iter 200 with atol/rtol early
-    # exit, iris_sitl_traj_mpc.yaml:60); steps actually executed are
+    # exit, reference iris_sitl_traj_mpc.yaml:60 — set explicitly since the
+    # posctrl config ships max_iter 100); steps actually executed are
     # reported — warm-started receding-horizon solves converge early, which
     # IS the flight workload.
+    cfg["apg_mpc"]["max_iter"] = 200
     _, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(dict(cfg))
     x0 = hover_state()
     xdes = hover_state().at[0].set(1.0)    # setpoint step keeps the solver busy

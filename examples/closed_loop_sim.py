@@ -141,13 +141,13 @@ def main():
             # to 0.45 m, then tracks at +-0.03 m).
             if t_traj > 3.0:
                 errs.append(float(np.linalg.norm(plant.x[:3] - ref[:3])))
+        ref_now = None
+        if t_started is not None and node.ctrl.automata.run_trajectory:
+            ref_now = np.asarray(enu2ned(node.ctrl.traj.state_from_traj(
+                float(node.ctrl.automata.trajec_time))))
         if recorder is not None:
             c = fcu.last_cmd
             rec = node.last_record
-            ref_now = None
-            if t_started is not None and node.ctrl.automata.run_trajectory:
-                ref_now = np.asarray(enu2ned(node.ctrl.traj.state_from_traj(
-                    float(node.ctrl.automata.trajec_time))))
             recorder.record(
                 plant.t, plant.x,
                 cmd_motors=None if c is None else c[0],
@@ -158,11 +158,11 @@ def main():
                 solve_time=rec.solve_time, num_steps=rec.num_steps,
                 opt_cost=rec.opt_cost, mpc_indx=rec.mpc_indx,
             )
-            if args.verbose and k % 5 == 0 and ref_now is not None:
-                d = plant.x[:3] - ref_now[:3]
-                print(f"  t_traj={node.ctrl.automata.trajec_time:5.2f} "
-                      f"err={np.round(d, 2)} |e|={np.linalg.norm(d):.2f}",
-                      flush=True)
+        if args.verbose and k % 5 == 0 and ref_now is not None:
+            d = plant.x[:3] - ref_now[:3]
+            print(f"  t_traj={node.ctrl.automata.trajec_time:5.2f} "
+                  f"err={np.round(d, 2)} |e|={np.linalg.norm(d):.2f}",
+                  flush=True)
 
     stop.set()
     node.stop()

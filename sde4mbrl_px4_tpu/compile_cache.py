@@ -21,7 +21,15 @@ def ensure_compile_cache() -> str:
         return os.environ["JAX_COMPILATION_CACHE_DIR"]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cand = os.path.join(repo, ".jax_cache")
-    if not (os.path.isdir(cand) or os.access(repo, os.W_OK)):
+    # Repo-local cache only for a real source checkout (marker files), and
+    # only when actually writable — an installed package must not drop
+    # .jax_cache into site-packages, and an existing dir owned by another
+    # user must not be selected just because it exists.
+    is_src = any(os.path.exists(os.path.join(repo, m))
+                 for m in (".git", "pyproject.toml"))
+    writable = (os.access(cand, os.W_OK) if os.path.isdir(cand)
+                else os.access(repo, os.W_OK))
+    if not (is_src and writable):
         cand = os.path.join(os.path.expanduser("~"), ".cache",
                             "sde4mbrl_px4_tpu_xla")
     os.environ["JAX_COMPILATION_CACHE_DIR"] = cand

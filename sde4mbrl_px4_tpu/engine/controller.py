@@ -74,6 +74,15 @@ class OverrunMeter:
                 idx, horizon - 1, plan_age_ms, self.count,
             )
 
+    def clamp(self, idx: int, horizon: int, plan_age_ms: float) -> int:
+        """Record an overrun if ``idx`` ran past the horizon, then clamp to
+        the valid pickup range — the one shared implementation of the
+        reference's clamp-AND-logerr (``sde_control.py:294-298``) for every
+        pickup path."""
+        if idx > horizon - 1:
+            self.record(idx, horizon, plan_age_ms)
+        return max(0, min(idx, horizon - 1))
+
 
 @dataclass
 class ControlAutomata:
@@ -283,6 +292,24 @@ class RecedingHorizonController:
             if pipeline else None
         )
 
+    def close(self) -> None:
+        """Release the pipeline fetch worker (no-op in blocking mode).
+
+        Without this, each pipeline=True controller leaks a non-daemon
+        executor thread that concurrent.futures joins at interpreter exit —
+        a fetch wedged in ``jax.device_get`` on a hung device would then
+        block process shutdown."""
+        if self._fetcher is not None:
+            self._fetcher.shutdown(wait=False, cancel_futures=True)
+            self._fetcher = None
+            self._pending = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     # ------------------------------------------------------------------ solve
 
     def solve_once(self, x: np.ndarray, control_state: int, trajec_time: float,
@@ -450,13 +477,11 @@ class RecedingHorizonController:
         if self.plan_sample_time_usec <= 0:
             return None
         active = self.traj if self.plan_is_traj else self.pos
-        idx = int((sample_time_usec - self.plan_sample_time_usec) / active.dt_usec)
-        if idx > active.horizon - 1:
-            self.overruns.record(
-                idx, active.horizon,
-                (sample_time_usec - self.plan_sample_time_usec) / 1e3,
-            )
-        idx = max(0, min(idx, active.horizon - 1))
+        idx = self.overruns.clamp(
+            int((sample_time_usec - self.plan_sample_time_usec) / active.dt_usec),
+            active.horizon,
+            (sample_time_usec - self.plan_sample_time_usec) / 1e3,
+        )
         u = self.u_plan[idx, : active.n_u]
         if u.shape[0] < 6:
             u = np.concatenate([u, np.zeros(6 - u.shape[0], np.float32)])

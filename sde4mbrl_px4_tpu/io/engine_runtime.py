@@ -179,13 +179,11 @@ class SDEControlNode:
 
         is_traj = out[_STATS] > 0.5
         active = self.ctrl.traj if is_traj else self.ctrl.pos
-        idx = int((sample_time_usec - plan_sample_t) / active.dt_usec)
-        if idx > active.horizon - 1:
-            # Overrun = the solver missed real time; clamp AND surface it
-            # (reference clamps + logerr, sde_control.py:294-298).
-            self.overruns.record(idx, active.horizon,
-                                 (sample_time_usec - plan_sample_t) / 1e3)
-        idx = max(0, min(idx, active.horizon - 1))
+        # Overrun = the solver missed real time; clamp AND surface it
+        # (shared clamp-and-logerr, OverrunMeter.clamp).
+        idx = self.overruns.clamp(
+            int((sample_time_usec - plan_sample_t) / active.dt_usec),
+            active.horizon, (sample_time_usec - plan_sample_t) / 1e3)
         self._last_index = idx
         u_flat = out[_STATS + 1 : _STATS + 1 + self.max_h * 6]
         w_flat = out[_STATS + 1 + self.max_h * 6 :]

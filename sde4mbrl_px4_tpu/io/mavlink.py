@@ -17,6 +17,7 @@ import ctypes
 import os
 import socket
 import struct
+import time
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -249,9 +250,19 @@ class MavlinkUDP:
 
     def recv_match(self, type: Optional[str] = None, blocking: bool = True,
                    timeout: Optional[float] = 0.1):
-        self.sock.settimeout(timeout if blocking else 0.0)
+        deadline = (None if not blocking or timeout is None
+                    else time.monotonic() + timeout)
         try:
             while True:
+                if deadline is None:
+                    self.sock.settimeout(timeout if blocking else 0.0)
+                else:
+                    # Re-arm with the REMAINING window so swallowed errors
+                    # below can't extend the call past its deadline.
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        return None
+                    self.sock.settimeout(remaining)
                 # A connected (udpout) socket surfaces ICMP port-unreachable
                 # as ConnectionRefusedError when the peer is not up yet
                 # (e.g. fcu_sim launched before the engine). UDP MAVLink is

@@ -181,6 +181,8 @@ def test_pipelined_controller_matches_sync_shifted(repo_root, tmp_path):
                                        rtol=1e-6, atol=1e-7)
     # plan staleness never exceeds one control period
     assert stamps[-1] - pipe.plan_sample_time_usec == pytest.approx(5e4)
+    pipe.close()
+    assert pipe._fetcher is None  # fetch worker released (no thread leak)
 
 
 def test_collector_survives_failed_collect(node):
