@@ -211,6 +211,7 @@ def make_mpc_from_config(
         "0", "false", "False"
     )
 
+    warm_shift = str(cfg.get("warm_shift", "repeat"))
     cost_fn = make_cost_fn(cost_params, time_steps)
     u_hover = jnp.broadcast_to(cost_params.uref, (H, n_u))
     if prox_m:
@@ -370,8 +371,16 @@ def make_mpc_from_config(
         else:
             x_evol = rollout_mean(model, params, x, u_opt, time_steps)
 
-        # Receding-horizon warm-start shift by one control period.
-        yk_next = jnp.concatenate([z_opt[1:], z_opt[-1:]], axis=0)
+        # Receding-horizon warm-start shift by one control period. The tail
+        # guess is configurable (``warm_shift``): "repeat" (default —
+        # standard receding-horizon practice and the parity baseline) or
+        # "extrapolate" (linear continuation of the last two knots, clipped
+        # into the input box; see tools/tpu_shift_ab.py for the A/B).
+        if warm_shift == "extrapolate":
+            tail = jnp.clip(2.0 * z_opt[-1:] - z_opt[-2:-1], lb_z, ub_z)
+        else:
+            tail = z_opt[-1:]
+        yk_next = jnp.concatenate([z_opt[1:], tail], axis=0)
         st_out = st._replace(yk=yk_next)
         return MPCSolution(u_opt=u_opt, opt_state=st_out, rng=rng_next, x_evol=x_evol)
 
