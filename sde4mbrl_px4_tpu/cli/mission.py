@@ -147,8 +147,13 @@ class SimVehicle(VehicleBase):
         if not self._armed:
             self.fcu.plant.step(np.zeros(self.fcu.n_u, np.float32), dt)
             return
+        # Resolve control authority FIRST: _effective_u applies the
+        # engagement level + staleness watchdog and is the only place
+        # fcu.status transitions — checking the stale status instead would
+        # never hand authority to a freshly-engaged MPC command stream.
+        u_mpc = self.fcu._effective_u()
         if self.fcu.status == self.fcu.MPC_ON:
-            self.fcu.run_control_period(dt)
+            self.fcu.plant.step(u_mpc, dt)
             return
         # PX4-side position control stand-in: geometric controller -> rate
         # loop -> motors.

@@ -47,12 +47,18 @@ class FCUSimNode:
     """
 
     def __init__(self, fcu: FCUSim, addr: str = "127.0.0.1:14998",
-                 realtime: bool = True):
+                 realtime: bool = True, step_fn=None):
+        """``step_fn(dt)`` overrides how the plant advances each tick —
+        e.g. ``SimVehicle.step`` so the PX4 position-loop stand-in keeps
+        authority while the MPC is disengaged (the full-stack mission
+        topology, ``examples/full_sitl_stack.py``). Default: the raw FCU
+        engagement/watchdog shim (``FCUSim.run_control_period``)."""
         from sde4mbrl_px4_tpu.io.mavlink import MavlinkUDP
 
         self.fcu = fcu
         self.addr = addr
         self.realtime = realtime
+        self._step = step_fn or fcu.run_control_period
         self.link = MavlinkUDP(addr, mode="udpout")
         self._stop = threading.Event()
         self._rx: Optional[threading.Thread] = None
@@ -78,7 +84,7 @@ class FCUSimNode:
                 sleep = wall0 + (k + 1) * dt - time.time()
                 if sleep > 0:
                     time.sleep(sleep)
-            self.fcu.run_control_period(dt)
+            self._step(dt)
             k += 1
             self.ticks = k
 
