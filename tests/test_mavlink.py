@@ -112,3 +112,41 @@ def test_udp_state_command_loop():
     rep = cli.recv_match(type="MPC_MOTORS_CMD", timeout=2.0)
     assert rep is not None and rep.time_usec == 778 and rep.mpc_on == 3
     srv.close(); cli.close()
+
+
+def test_recv_match_timeout_respects_deadline_under_icmp_refusals():
+    """A connected udpout socket whose peer is down surfaces ICMP
+    port-unreachable as ConnectionRefusedError on recvfrom; recv_match must
+    swallow those WITHOUT extending the call past its timeout (each refusal
+    used to re-arm a fresh full window)."""
+    import socket as _socket
+    import threading
+    import time as _time
+
+    # Peer port chosen closed: find one by binding/closing.
+    probe = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    cli = mav.MavlinkUDP(f"127.0.0.1:{port}", mode="udpout")
+    stop = threading.Event()
+
+    def _spam():
+        # Generate a steady stream of ICMP refusals on the connected socket.
+        while not stop.is_set():
+            try:
+                cli.send_full_state(1, _state())
+            except OSError:
+                pass
+            _time.sleep(0.005)
+
+    th = threading.Thread(target=_spam, daemon=True)
+    th.start()
+    t0 = _time.monotonic()
+    out = cli.recv_match(type="MPC_MOTORS_CMD", timeout=0.3)
+    elapsed = _time.monotonic() - t0
+    stop.set(); th.join(timeout=1.0)
+    cli.close()
+    assert out is None
+    assert elapsed < 1.5, f"recv_match overstayed its 0.3 s timeout: {elapsed:.2f}s"
