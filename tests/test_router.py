@@ -162,3 +162,32 @@ def test_launch_router_conf_parses(repo_root):
     assert by_name["mpc"].allow_in == {368}
     assert by_name["telemetry"].allow_out is None
     assert by_name["liveview"].allow_out == {367, 368}
+
+
+def test_parse_shipped_hexa_conf(repo_root):
+    """The vehicle-topology conf (tabs, inline comments, UartEndpoint +
+    General sections) parses like the reference's router_hexa.conf: UDP
+    endpoints extracted, non-UDP sections skipped."""
+    import os
+
+    eps = parse_conf(open(os.path.join(repo_root, "configs",
+                                       "router_hexa.conf")).read())
+    assert [e.name for e in eps] == ["fcu", "telemetry", "mpc"]
+    assert eps[0].mode == "Server" and eps[0].port == 14550
+    mpc = eps[2]
+    assert mpc.address == "192.168.1.207" and mpc.port == 14998
+    assert mpc.allow_in == {368} and mpc.allow_out == {367}
+
+
+def test_parse_reference_hexa_conf_uart_ignored():
+    """The reference's REAL vehicle conf (UartEndpoint first) loads
+    unchanged: the UART section is skipped, the two UDP endpoints survive
+    with their filters."""
+    import os
+
+    ref = "/root/reference/scripts/router_hexa.conf"
+    if not os.path.exists(ref):
+        pytest.skip("reference tree not mounted")
+    eps = parse_conf(open(ref).read())
+    assert [e.name for e in eps] == ["Mavros", "MPC"]
+    assert eps[1].allow_in == {368} and eps[1].allow_out == {367}
