@@ -61,8 +61,16 @@ class FlightRecorder:
         return out
 
     def save(self, path: str) -> None:
+        """Write the log: ``.npz`` (framework schema) or ``.ulg`` (PX4
+        ULog with the standard topics, so PlotJuggler / PX4 Flight Review
+        open it with the reference's committed layouts; io/ulog.py)."""
         path = os.path.expanduser(path)
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        if path.endswith(".ulg"):
+            from sde4mbrl_px4_tpu.io.ulog import flight_log_to_ulog
+
+            flight_log_to_ulog(self.arrays(), path)
+            return
         np.savez_compressed(path, **self.arrays())
 
 

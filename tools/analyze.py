@@ -219,17 +219,28 @@ def main():
         return
     if not args.log:
         ap.error("need a flight log path (or --live HOST:PORT)")
+    out = args.out or os.path.splitext(args.log)[0] + ".png"
+    analyze(args.log, out, scene=args.scene)
 
+
+def analyze(log_path: str, out: str, scene: bool = False):
+    """Render the post-hoc overlays from a flight log — the framework's
+    ``.npz`` schema OR a PX4 ``.ulg`` (real flights; mapped through
+    io/ulog.py onto the same schema)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from sde4mbrl_px4_tpu.io.flight_log import load_flight_log
+    if log_path.endswith(".ulg"):
+        from sde4mbrl_px4_tpu.io.ulog import ulog_to_flight_log
 
-    d = load_flight_log(args.log)
+        d = ulog_to_flight_log(log_path)
+    else:
+        from sde4mbrl_px4_tpu.io.flight_log import load_flight_log
+
+        d = load_flight_log(log_path)
     t = d["t"]
-    out = args.out or os.path.splitext(args.log)[0] + ".png"
 
     fig, axes = plt.subplots(4, 1, figsize=(11, 13), sharex=True)
 
@@ -279,7 +290,7 @@ def main():
     fig.savefig(out, dpi=110)
     print(f"wrote {out}")
 
-    if args.scene:
+    if scene:
         scene_out = os.path.splitext(out)[0] + "_scene.png"
         render_scene(d, scene_out)
         print(f"wrote {scene_out}")
