@@ -49,7 +49,7 @@ def chain_time(fn, init_carry, label, n=5):
     jax.block_until_ready(jax.tree.leaves(c)[0])
     per = (time.perf_counter() - t0) / (n * K)
     print(f"{label:10s} {per*1e3:7.3f} ms/invocation", flush=True)
-    return per
+    return per, c
 
 
 def main():
@@ -64,11 +64,15 @@ def main():
 
     # --- full mpc_fn chained (state feedback, like bench) ------------------
     def full(c):
-        x, rng, st, t = c
+        x, rng, st, t, acc, cnt = c
         u, st1, rng1, xe = mpc_fn(x, rng, st, t, x)
-        return (xe[1], rng1, st1, t + dt)
+        return (xe[1], rng1, st1, t + dt, acc + st1.num_steps, cnt + 1.0)
 
-    t_full = chain_time(full, (x, rng, st0, jnp.float32(T0)), "full")
+    t_full, c_full = chain_time(
+        full, (x, rng, st0, jnp.float32(T0), jnp.float32(0), jnp.float32(0)),
+        "full")
+    steps_warm = float(c_full[4]) / float(c_full[5])
+    print(f"  (warm steps/solve: {steps_warm:.0f})")
 
     # --- pieces ------------------------------------------------------------
     from sde4mbrl_px4_tpu.ops.pallas.apg_kernel import pallas_apg_solve
@@ -90,7 +94,7 @@ def main():
             b.lb, b.ub, st0.yk)
         return (k + 1.0, st.num_steps)
 
-    t_mega = chain_time(mega, (jnp.float32(0), jnp.float32(0)), "mega_cold")
+    t_mega, _ = chain_time(mega, (jnp.float32(0), jnp.float32(0)), "mega_cold")
     st_cold = jax.jit(mega)((jnp.float32(0), jnp.float32(0)))
     print(f"  (cold-start steps/solve: {float(st_cold[1]):.0f})")
 
@@ -104,7 +108,7 @@ def main():
             b.lb, b.ub, st0.yk)
         return (k + 1.0, st.num_steps)
 
-    t_mega1 = chain_time(mega1, (jnp.float32(0), jnp.float32(0)), "mega_1iter")
+    t_mega1, _ = chain_time(mega1, (jnp.float32(0), jnp.float32(0)), "mega_1iter")
     steps_cold = float(st_cold[1])
     per_iter = (t_mega - t_mega1) / max(steps_cold - 1.0, 1.0)
     print(f"  fixed ~{t_mega1*1e3:.3f} ms (incl. 1 iter + ref build), "
@@ -119,20 +123,30 @@ def main():
         xe = oracle.trajectory(yk)
         return (yk, xe[1, 0])
 
-    t_traj = chain_time(traj_orc, (st0.yk, jnp.float32(0)), "traj_orc")
+    t_traj, _ = chain_time(traj_orc, (st0.yk, jnp.float32(0)), "traj_orc")
 
     def ref_build(c):
         t, acc = c
         ref = enu2ned(sft(t + b.knot_times))
         return (t + dt, acc + ref[0, 0])
 
-    t_ref = chain_time(ref_build, (jnp.float32(T0), jnp.float32(0)), "ref_build")
+    t_ref = chain_time(ref_build, (jnp.float32(T0), jnp.float32(0)),
+                       "ref_build")[0]
 
-    glue = t_full - t_mega - t_traj
+    # The full chain runs WARM (steps_warm/solve); normalize the kernel time
+    # to the same iteration count before subtracting, else the cold-start
+    # kernel (steps_cold) over-counts and glue goes negative.
+    t_mega_warm = t_mega1 + max(steps_warm - 1.0, 0.0) * per_iter
+    glue = t_full - t_mega_warm - t_traj
+    print(f"{'mega_warm':10s} {t_mega_warm*1e3:7.3f} ms/invocation (derived: "
+          f"fixed + {steps_warm:.0f} warm iters x per-iter)")
     print(f"{'xla_glue':10s} {glue*1e3:7.3f} ms/invocation (derived; full - "
-          "mega_cold - traj_orc; mega_cold already includes a ref build)")
-    print(f"split: mega_cold {t_mega/t_full:.0%}  traj {t_traj/t_full:.0%}  "
+          "mega_warm - traj_orc; mega_warm already includes a ref build)")
+    print(f"split: kernel {t_mega_warm/t_full:.0%}  traj {t_traj/t_full:.0%}  "
           f"ref {t_ref/t_full:.0%}  glue {glue/t_full:.0%}")
+    print("(glue within ~±15% of zero = the solve IS the kernel; the "
+          "per-iter linear model is fit on cold solves, so small negative "
+          "values are model error, not negative work)")
 
 
 if __name__ == "__main__":
