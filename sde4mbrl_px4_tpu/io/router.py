@@ -28,7 +28,7 @@ import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Set, Tuple
 
-__all__ = ["Endpoint", "Router", "parse_conf"]
+__all__ = ["Endpoint", "Router", "NativeRouter", "parse_conf"]
 
 
 def _msgid(frame: bytes) -> Optional[int]:
@@ -182,3 +182,72 @@ def parse_conf(text: str) -> List[Endpoint]:
             )
     flush()
     return endpoints
+
+
+class NativeRouter:
+    """C++ router core (csrc/router.cpp) behind the same interface as
+    :class:`Router` — the actual ``mavlink-routerd``-equivalent for
+    deployment (poll(2) loop, no GIL on the forwarding path). The Python
+    :class:`Router` is the behavioral twin; both are parity-tested against
+    the same topology (tests/test_router.py)."""
+
+    def __init__(self, endpoints: List[Endpoint]):
+        import ctypes
+
+        from sde4mbrl_px4_tpu.io.mavlink import load_native
+
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("build the native runtime first: make -C csrc")
+        lib.router_new.restype = ctypes.c_void_p
+        lib.router_add_udp.restype = ctypes.c_int
+        lib.router_add_udp.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.router_start.restype = ctypes.c_int
+        lib.router_start.argtypes = [ctypes.c_void_p]
+        lib.router_rx_frames.restype = ctypes.c_long
+        lib.router_rx_frames.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.router_bound_port.restype = ctypes.c_int
+        lib.router_bound_port.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.router_stop_free.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        self._h = ctypes.c_void_p(lib.router_new())
+        self.endpoints = endpoints
+        self._idx: Dict[str, int] = {}
+
+        def _ids(s: Optional[Set[int]]):
+            if s is None:
+                return None
+            arr = (ctypes.c_int * (len(s) + 1))(*sorted(s), -1)
+            return arr
+
+        for e in endpoints:
+            rc = lib.router_add_udp(
+                self._h, e.name.encode(), e.address.encode(), int(e.port),
+                1 if e.mode == "Server" else 0, _ids(e.allow_in),
+                _ids(e.allow_out))
+            if rc < 0:
+                lib.router_stop_free(self._h)
+                raise OSError(f"endpoint {e.name}: bind/socket failed")
+            self._idx[e.name] = rc
+        self._started = False
+
+    def start(self) -> None:
+        if self._lib.router_start(self._h) != 0:
+            raise OSError("router thread start failed")
+        self._started = True
+
+    @property
+    def stats(self) -> Dict[str, int]:
+        return {name: int(self._lib.router_rx_frames(self._h, i))
+                for name, i in self._idx.items()}
+
+    def bound_port(self, name: str) -> int:
+        return int(self._lib.router_bound_port(self._h, self._idx[name]))
+
+    def stop(self) -> None:
+        if self._h:
+            self._lib.router_stop_free(self._h)
+            self._h = None

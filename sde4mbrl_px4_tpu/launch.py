@@ -156,7 +156,8 @@ def launch_router(cfg: Dict[str, Any]):
     """Start the MAVLink fan-out router (the reference's ``px4_sitl.launch``
     + ``sitl_route_mavlink.sh`` transport bring-up, SURVEY.md §2.8): a conf
     file in the mavlink-router dialect defines the endpoints/filters."""
-    from sde4mbrl_px4_tpu.io.router import Router, parse_conf
+    from sde4mbrl_px4_tpu.io.mavlink import load_native
+    from sde4mbrl_px4_tpu.io.router import NativeRouter, Router, parse_conf
 
     conf = cfg["conf"]
     if not os.path.isabs(conf):
@@ -164,9 +165,14 @@ def launch_router(cfg: Dict[str, Any]):
         conf = next((c for c in cand if os.path.isfile(c)), cand[0])
     with open(conf) as f:
         endpoints = parse_conf(f.read())
-    router = Router(endpoints)
+    # Prefer the C++ core (the actual mavlink-routerd replacement: poll(2)
+    # loop, no GIL on the forwarding path); the Python twin is the fallback
+    # when the native library isn't built. Both are parity-tested.
+    native = load_native() is not None and cfg.get("native", True)
+    router = (NativeRouter if native else Router)(endpoints)
     router.start()
-    print(f"[launch] router fanning out {len(endpoints)} endpoints "
+    print(f"[launch] router ({'native' if native else 'python'}) fanning "
+          f"out {len(endpoints)} endpoints "
           f"({', '.join(e.name for e in endpoints)})", flush=True)
     print("[launch] READY", flush=True)
     try:

@@ -57,10 +57,12 @@ def test_parse_shipped_reference_conf():
     assert mpc.port == 14998 and mpc.allow_in == {368} and mpc.allow_out == {367}
 
 
-@pytest.fixture
-def topology():
+@pytest.fixture(params=["py", "native"])
+def topology(request):
     """FCU (server) + mavros-like sink + MPC sink with id filters; all on
-    ephemeral ports."""
+    ephemeral ports. Parametrized over BOTH router implementations — the
+    Python twin and the C++ core (csrc/router.cpp) — so the native
+    mavlink-routerd replacement is held to the same behavior."""
     fcu = Endpoint("PX4", "127.0.0.1", 0, mode="Server")
     # sinks: plain UDP sockets we control directly
     mavros_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -73,19 +75,30 @@ def topology():
     mavros_ep = Endpoint("Mavros", "127.0.0.1", mavros_sock.getsockname()[1])
     mpc_ep = Endpoint("MPC", "127.0.0.1", mpc_sock.getsockname()[1],
                       allow_in={368}, allow_out={367})
-    r = Router([fcu, mavros_ep, mpc_ep])
-    r.start()
-    yield r, fcu, mavros_sock, mpc_sock
+    if request.param == "native":
+        from sde4mbrl_px4_tpu.io.mavlink import load_native
+        from sde4mbrl_px4_tpu.io.router import NativeRouter
+
+        if load_native() is None:
+            pytest.skip("native library not built (make -C csrc)")
+        r = NativeRouter([fcu, mavros_ep, mpc_ep])
+        r.start()
+        ports = {n: r.bound_port(n) for n in ("PX4", "Mavros", "MPC")}
+    else:
+        r = Router([fcu, mavros_ep, mpc_ep])
+        r.start()
+        ports = {e.name: e.bound_port for e in (fcu, mavros_ep, mpc_ep)}
+    yield r, ports, mavros_sock, mpc_sock
     r.stop()
     mavros_sock.close()
     mpc_sock.close()
 
 
 def test_fanout_with_id_filter(topology):
-    r, fcu, mavros_sock, mpc_sock = topology
+    r, ports, mavros_sock, mpc_sock = topology
     # "FCU" talks to the router's server endpoint.
     fcu_client = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    fcu_port = fcu.bound_port
+    fcu_port = ports["PX4"]
     state_frame = mav.encode_full_state(111, np.zeros(13, np.float32))
     hb_like = mav.encode_motors_cmd(5, [0.1] * 4, [0, 0, 0, 0], 0, 0)
 
@@ -106,11 +119,11 @@ def test_fanout_with_id_filter(topology):
 
 
 def test_mpc_reply_routes_back_to_fcu(topology):
-    r, fcu, mavros_sock, mpc_sock = topology
+    r, ports, mavros_sock, mpc_sock = topology
     fcu_client = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     fcu_client.settimeout(1.0)
     fcu_client.bind(("127.0.0.1", 0))
-    fcu_port = fcu.bound_port
+    fcu_port = ports["PX4"]
 
     # Teach the server endpoint its peer first (as the FCU would).
     state_frame = mav.encode_full_state(1, np.zeros(13, np.float32))
@@ -120,8 +133,7 @@ def test_mpc_reply_routes_back_to_fcu(topology):
 
     # MPC replies with id 368 INTO the router -> must reach the FCU peer.
     cmd = mav.encode_motors_cmd(7, [0.7] * 4, [0.7, 0, 0, 0], 5, 100)
-    mpc_ep = r.endpoints[2]
-    mpc_sock.sendto(cmd, mpc_ep.sock.getsockname())
+    mpc_sock.sendto(cmd, ("127.0.0.1", ports["MPC"]))
     got, _ = fcu_client.recvfrom(512)
     msg = mav.decode_frame(got)
     assert msg is not None and msg.get_type() == "MPC_MOTORS_CMD"
@@ -131,18 +143,17 @@ def test_mpc_reply_routes_back_to_fcu(topology):
 
 def test_mpc_inbound_filter_drops_wrong_ids(topology):
     """Id 367 arriving FROM the MPC endpoint is dropped (AllowMsgIdIn=368)."""
-    r, fcu, mavros_sock, mpc_sock = topology
+    r, ports, mavros_sock, mpc_sock = topology
     fcu_client = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     fcu_client.settimeout(0.3)
     fcu_client.bind(("127.0.0.1", 0))
     state = mav.encode_full_state(1, np.zeros(13, np.float32))
-    fcu_client.sendto(state, ("127.0.0.1", fcu.bound_port))
+    fcu_client.sendto(state, ("127.0.0.1", ports["PX4"]))
     mavros_sock.recvfrom(512)
     mpc_sock.recvfrom(512)
 
     # Spoofed 367 from the MPC side must NOT be forwarded anywhere.
-    mpc_ep = r.endpoints[2]
-    mpc_sock.sendto(state, mpc_ep.sock.getsockname())
+    mpc_sock.sendto(state, ("127.0.0.1", ports["MPC"]))
     with pytest.raises(socket.timeout):
         fcu_client.recvfrom(512)
     fcu_client.close()
