@@ -56,7 +56,8 @@ def main():
 
     from sde4mbrl_px4_tpu.cli.mission import MissionControl, SimVehicle
     from sde4mbrl_px4_tpu.io.engine_runtime import EngineServiceClient
-    from sde4mbrl_px4_tpu.io.router import Router, parse_conf
+    from sde4mbrl_px4_tpu.io.mavlink import load_native
+    from sde4mbrl_px4_tpu.io.router import NativeRouter, Router, parse_conf
     from sde4mbrl_px4_tpu.models.params_io import load_params
     from sde4mbrl_px4_tpu.models.sde_model import NeuralSDE
     from sde4mbrl_px4_tpu.models.vehicles import iris_config
@@ -68,9 +69,11 @@ def main():
     # ---- L1: the MAVLink fan-out (reference sitl_route_mavlink.sh) --------
     with open(os.path.join(here, "configs", "router_sitl.conf")) as f:
         endpoints = parse_conf(f.read())
-    router = Router(endpoints)
+    native = load_native() is not None
+    router = (NativeRouter if native else Router)(endpoints)
     router.start()
-    print(f"== router up: {', '.join(e.name for e in endpoints)} ==", flush=True)
+    print(f"== router ({'native C++' if native else 'python'}) up: "
+          f"{', '.join(e.name for e in endpoints)} ==", flush=True)
 
     # ---- L4/L5: the engine node in its own process (launch tier) ----------
     launch_cfg = f"""
