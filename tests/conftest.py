@@ -14,6 +14,18 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache (shared with bench/examples): reruns deserialize
+# instead of re-invoking the LLVM pipeline. Besides the speedup, this works
+# around a jaxlib-0.9.0 XLA:CPU segfault observed when one process
+# accumulates many large compilations (hexa interpret-mode kernels + two
+# training loops, then ANY further compile dies inside
+# backend_compile_and_load — see tests/test_learning.py history).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
 import subprocess
 

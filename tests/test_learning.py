@@ -1,4 +1,6 @@
 """Model-learning tests: the trainer identifies dynamics from data."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,7 +65,83 @@ def test_dataset_too_short_raises():
         TrajectoryDataset(np.arange(3.0), np.zeros((3, 13)), np.zeros((3, 4)), 8)
 
 
+def test_kstep_errors_ranks_models(true_and_init):
+    """learning/evaluate.kstep_errors: the true model predicts its own data
+    far better than a mis-identified one, and error grows with k."""
+    from sde4mbrl_px4_tpu.learning.evaluate import kstep_errors
+
+    model, true_params, _ = true_and_init
+    t, x, u = _generate_flight_data(true_params, model, n_steps=300)
+    rep_true = kstep_errors(model, true_params, t, x, u, ks=(1, 10),
+                            max_windows=64)
+    assert rep_true["k1"]["pos_rmse_m"] < 1e-4       # data IS this model
+    assert rep_true["k10"]["pos_rmse_m"] < 1e-3
+    assert rep_true["k10"]["pos_rmse_m"] >= rep_true["k1"]["pos_rmse_m"]
+    assert rep_true["k10"]["horizon_s"] == pytest.approx(0.2)
+
+    bad = jax.tree.map(jnp.asarray, true_params)
+    bad["motor"]["log_gain"] = bad["motor"]["log_gain"] + 0.2
+    rep_bad = kstep_errors(model, bad, t, x, u, ks=(10,), max_windows=64)
+    assert rep_bad["k10"]["pos_rmse_m"] > 10 * rep_true["k10"]["pos_rmse_m"]
+
+
+def test_calibration_detects_overconfidence(true_and_init):
+    """learning/evaluate.calibration: ensemble coverage is sane for the
+    true stochastic model and collapses when the diffusion is deflated."""
+    from sde4mbrl_px4_tpu.learning.evaluate import calibration
+
+    model, true_params, _ = true_and_init
+    t, x, u = _generate_stochastic_flight(true_params, model, n_steps=300)
+    rep = calibration(model, true_params, t, x, u, k=5, num_particles=128,
+                      max_windows=32, seed=1)
+    cov90 = rep["coverage"]["0.90"]
+    assert 0.6 < cov90 <= 1.0, rep                   # roughly calibrated
+    assert 0.3 < rep["spread_ratio"] < 3.0, rep
+
+    deflated = jax.tree.map(jnp.asarray, true_params)
+    deflated["diffusion_log_scale"] = deflated["diffusion_log_scale"] - 3.0
+    rep_lo = calibration(model, deflated, t, x, u, k=5, num_particles=128,
+                         max_windows=32, seed=1)
+    assert rep_lo["coverage"]["0.90"] < cov90 - 0.2, (rep_lo, rep)
+    assert rep_lo["spread_ratio"] < rep["spread_ratio"]
+
+
+# NOTE: jaxlib 0.9.0's XLA:CPU runtime can SEGFAULT once one process has
+# accumulated many large executables: after the hexa tests plus both
+# training loops, the NEXT executable creation dies inside
+# backend_compile_and_load / compilation-cache deserialization (reproduced
+# serially; upstream, not this repo — no native code involved). Two
+# defenses here: the light evaluation tests run BEFORE the training loops
+# (don't alphabetize), and each training-loop test below executes in its
+# OWN subprocess so its executables never accumulate in the pytest worker.
+
+
+def _run_isolated(test_name: str) -> None:
+    """Run one test of this file in a fresh interpreter (see NOTE above)."""
+    import subprocess
+    import sys
+
+    here = os.path.abspath(__file__)
+    env = dict(os.environ, SDE4MBRL_TEST_INNER="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", f"{here}::{test_name}", "-q",
+         "-n", "0", "-p", "no:cacheprovider"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=os.path.dirname(os.path.dirname(here)),
+    )
+    assert r.returncode == 0, (
+        f"isolated {test_name} failed (rc={r.returncode}):\n"
+        f"{r.stdout[-3000:]}\n{r.stderr[-1500:]}"
+    )
+
+
+_INNER = os.environ.get("SDE4MBRL_TEST_INNER") == "1"
+
+
 def test_training_reduces_loss(true_and_init):
+    if not _INNER:
+        _run_isolated("test_training_reduces_loss")
+        return
     model, true_params, init = true_and_init
     t, x, u = _generate_flight_data(true_params, model)
     cfg = TrainConfig(window=4, batch_size=64, steps=120, lr=3e-3)
@@ -78,6 +156,9 @@ def test_training_reduces_loss(true_and_init):
 
 
 def test_training_improves_prediction(true_and_init):
+    if not _INNER:
+        _run_isolated("test_training_improves_prediction")
+        return
     model, true_params, init = true_and_init
     t, x, u = _generate_flight_data(true_params, model, seed=5)
     cfg = TrainConfig(window=4, batch_size=64, steps=150, lr=3e-3)
@@ -99,6 +180,9 @@ def test_training_improves_prediction(true_and_init):
 def test_sysid_from_flight_log(tmp_path, iris_model):
     """Flight-log -> dataset -> a few training steps: the system-ident
     loop the reference ecosystem runs offline (closed here in-repo)."""
+    if not _INNER:
+        _run_isolated("test_sysid_from_flight_log")
+        return
     import jax.numpy as jnp
 
     from sde4mbrl_px4_tpu.io.flight_log import FlightRecorder
@@ -167,44 +251,3 @@ def _generate_stochastic_flight(params, model, n_steps=400, dt=0.02, seed=7):
         us.append(u)
     t = np.arange(n_steps + 1) * dt
     return t[:-1], np.stack(xs[:-1]), np.stack(us)
-
-
-def test_kstep_errors_ranks_models(true_and_init):
-    """learning/evaluate.kstep_errors: the true model predicts its own data
-    far better than a mis-identified one, and error grows with k."""
-    from sde4mbrl_px4_tpu.learning.evaluate import kstep_errors
-
-    model, true_params, _ = true_and_init
-    t, x, u = _generate_flight_data(true_params, model, n_steps=300)
-    rep_true = kstep_errors(model, true_params, t, x, u, ks=(1, 10),
-                            max_windows=64)
-    assert rep_true["k1"]["pos_rmse_m"] < 1e-4       # data IS this model
-    assert rep_true["k10"]["pos_rmse_m"] < 1e-3
-    assert rep_true["k10"]["pos_rmse_m"] >= rep_true["k1"]["pos_rmse_m"]
-    assert rep_true["k10"]["horizon_s"] == pytest.approx(0.2)
-
-    bad = jax.tree.map(jnp.asarray, true_params)
-    bad["motor"]["log_gain"] = bad["motor"]["log_gain"] + 0.2
-    rep_bad = kstep_errors(model, bad, t, x, u, ks=(10,), max_windows=64)
-    assert rep_bad["k10"]["pos_rmse_m"] > 10 * rep_true["k10"]["pos_rmse_m"]
-
-
-def test_calibration_detects_overconfidence(true_and_init):
-    """learning/evaluate.calibration: ensemble coverage is sane for the
-    true stochastic model and collapses when the diffusion is deflated."""
-    from sde4mbrl_px4_tpu.learning.evaluate import calibration
-
-    model, true_params, _ = true_and_init
-    t, x, u = _generate_stochastic_flight(true_params, model, n_steps=300)
-    rep = calibration(model, true_params, t, x, u, k=5, num_particles=128,
-                      max_windows=32, seed=1)
-    cov90 = rep["coverage"]["0.90"]
-    assert 0.6 < cov90 <= 1.0, rep                   # roughly calibrated
-    assert 0.3 < rep["spread_ratio"] < 3.0, rep
-
-    deflated = jax.tree.map(jnp.asarray, true_params)
-    deflated["diffusion_log_scale"] = deflated["diffusion_log_scale"] - 3.0
-    rep_lo = calibration(model, deflated, t, x, u, k=5, num_particles=128,
-                         max_windows=32, seed=1)
-    assert rep_lo["coverage"]["0.90"] < cov90 - 0.2, (rep_lo, rep)
-    assert rep_lo["spread_ratio"] < rep["spread_ratio"]
