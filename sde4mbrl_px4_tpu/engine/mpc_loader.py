@@ -45,7 +45,9 @@ from sde4mbrl_px4_tpu.models.params_io import load_params
 from sde4mbrl_px4_tpu.models.sde_model import NeuralSDE, init_params
 from sde4mbrl_px4_tpu.models.trajectory import load_trajectory_csv, make_state_from_traj
 from sde4mbrl_px4_tpu.models.vehicles import iris_config, hexa_config
-from sde4mbrl_px4_tpu.ops.rollout import make_time_steps, rollout_mean, rollout_sde
+from sde4mbrl_px4_tpu.ops.rollout import (
+    draw_brownian, make_time_steps, rollout_mean, rollout_sde,
+)
 from sde4mbrl_px4_tpu.solver.apg import APGConfig, APGState, apg_solve
 
 __all__ = ["load_mpc_from_cfgfile", "MPCBundle", "make_mpc_from_config"]
@@ -212,6 +214,10 @@ def make_mpc_from_config(
     )
 
     warm_shift = str(cfg.get("warm_shift", "repeat"))
+    # Antithetic Monte-Carlo particles (opt-in ``antithetic: true``): paired
+    # (z, -z) Brownian paths — unbiased, lower-variance uncertainty cost at
+    # zero extra rollout work (ops/rollout.draw_brownian).
+    antithetic = bool(cfg.get("antithetic", False))
     cost_fn = make_cost_fn(cost_params, time_steps)
     u_hover = jnp.broadcast_to(cost_params.uref, (H, n_u))
     if prox_m:
@@ -290,10 +296,13 @@ def make_mpc_from_config(
             if num_particles <= 1:
                 noise_p = jnp.zeros((1, H, 13), jnp.float32)
             else:
-                # Same counter-based draw as rollout_sde ((H,P,13)), laid out
-                # particle-major for the kernel.
+                # Same counter-based draw as rollout_sde ((H,P,13)) — via
+                # the shared draw_brownian, so the ``antithetic`` option
+                # stays kernel/XLA parity-locked — laid out particle-major
+                # for the kernel.
                 noise_p = jnp.transpose(
-                    jax.random.normal(rng_noise, (H, P, 13), jnp.float32), (1, 0, 2)
+                    draw_brownian(rng_noise, H, P, antithetic=antithetic),
+                    (1, 0, 2)
                 )
             if use_mega and apg_cfg.use_linesearch:
                 # Whole-solve mega-kernel: the entire APG loop in one Mosaic
@@ -351,6 +360,7 @@ def make_mpc_from_config(
                 x_paths, sigmas = rollout_sde(
                     model, params, x, u_seq, time_steps, rng_noise, num_particles,
                     particle_sharding=particle_sharding, precision=mm_precision,
+                    antithetic=antithetic,
                 )
                 return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev[:n_u],
                                s_seq=s_seq)
