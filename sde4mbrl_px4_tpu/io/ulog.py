@@ -74,7 +74,7 @@ def read_ulog(path: str, topics: Optional[List[str]] = None) -> Dict[str, Any]:
     """
     with open(path, "rb") as f:
         raw = f.read()
-    if raw[:7] != _MAGIC:
+    if raw[:7] != _MAGIC or len(raw) < 16:
         raise ValueError(f"{path}: not a ULog file")
     start_ts = struct.unpack_from("<Q", raw, 8)[0]
 

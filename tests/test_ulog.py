@@ -141,3 +141,33 @@ def test_flight_recorder_saves_ulg(tmp_path):
     d = read_ulog(p)["data"]
     assert len(d["vehicle_local_position"]["timestamp"]) == 10
     np.testing.assert_allclose(d["actuator_motors"]["control"][:, 0], 0.5)
+
+
+# ---- parser fuzz: arbitrary bytes must never crash -------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=256))
+def test_read_ulog_random_bytes_never_crash(tmp_path_factory, data):
+    p = str(tmp_path_factory.mktemp("fz") / "f.ulg")
+    open(p, "wb").write(data)
+    try:
+        out = read_ulog(p)
+        assert isinstance(out["data"], dict)   # parsed (magic happened to match)
+    except ValueError:
+        pass                                    # rejected: fine
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=192))
+def test_read_ulog_valid_header_garbage_body(tmp_path_factory, data):
+    """A valid header followed by arbitrary bytes must parse to SOMETHING
+    (possibly empty) without raising."""
+    p = str(tmp_path_factory.mktemp("fz") / "g.ulg")
+    hdr = b"ULog\x01\x12\x35\x01" + struct.pack("<Q", 42)
+    open(p, "wb").write(hdr + data)
+    out = read_ulog(p)
+    assert out["start_timestamp"] == 42
