@@ -143,8 +143,15 @@ int router_start(void* vr) {
     auto* r = static_cast<RRouter*>(vr);
     if (r->started || r->eps.empty()) return -1;
     r->running.store(true);
+    int rc = pthread_create(&r->thread, nullptr, pump, r);
+    if (rc != 0) {
+        // failed: leave started=false so router_stop_free never joins an
+        // uninitialized pthread_t
+        r->running.store(false);
+        return rc;
+    }
     r->started = true;
-    return pthread_create(&r->thread, nullptr, pump, r);
+    return 0;
 }
 
 long router_rx_frames(void* vr, int idx) {

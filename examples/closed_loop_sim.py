@@ -142,7 +142,8 @@ def main():
             if t_traj > 3.0:
                 errs.append(float(np.linalg.norm(plant.x[:3] - ref[:3])))
         ref_now = None
-        if t_started is not None and node.ctrl.automata.run_trajectory:
+        want_ref = recorder is not None or (args.verbose and k % 5 == 0)
+        if want_ref and t_started is not None and node.ctrl.automata.run_trajectory:
             ref_now = np.asarray(enu2ned(node.ctrl.traj.state_from_traj(
                 float(node.ctrl.automata.trajec_time))))
         if recorder is not None:

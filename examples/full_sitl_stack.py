@@ -69,7 +69,8 @@ def main():
     # ---- L1: the MAVLink fan-out (reference sitl_route_mavlink.sh) --------
     with open(os.path.join(here, "configs", "router_sitl.conf")) as f:
         endpoints = parse_conf(f.read())
-    native = load_native() is not None
+    _lib = load_native()
+    native = _lib is not None and hasattr(_lib, "router_new")
     router = (NativeRouter if native else Router)(endpoints)
     router.start()
     print(f"== router ({'native C++' if native else 'python'}) up: "

@@ -197,8 +197,12 @@ class NativeRouter:
         from sde4mbrl_px4_tpu.io.mavlink import load_native
 
         lib = load_native()
-        if lib is None:
-            raise RuntimeError("build the native runtime first: make -C csrc")
+        if lib is None or not hasattr(lib, "router_new"):
+            # A library built before csrc/router.cpp existed loads fine but
+            # lacks the router symbols — tell the user to rebuild instead
+            # of dying on dlsym later.
+            raise RuntimeError(
+                "native router not available: rebuild with `make -C csrc`")
         lib.router_new.restype = ctypes.c_void_p
         lib.router_add_udp.restype = ctypes.c_int
         lib.router_add_udp.argtypes = [
@@ -241,10 +245,14 @@ class NativeRouter:
 
     @property
     def stats(self) -> Dict[str, int]:
+        if self._h is None:  # after stop(): handle freed, don't pass NULL
+            return {name: -1 for name in self._idx}
         return {name: int(self._lib.router_rx_frames(self._h, i))
                 for name, i in self._idx.items()}
 
     def bound_port(self, name: str) -> int:
+        if self._h is None:
+            raise RuntimeError("router stopped")
         return int(self._lib.router_bound_port(self._h, self._idx[name]))
 
     def stop(self) -> None:

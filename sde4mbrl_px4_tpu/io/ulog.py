@@ -94,32 +94,48 @@ def read_ulog(path: str, topics: Optional[List[str]] = None) -> Dict[str, Any]:
         payload = raw[off: off + size]
         off += size
         t = chr(mtype)
+        # Per-message bodies from real (or corrupt) logs can be shorter
+        # than their type requires — skip malformed ones, never raise
+        # (the never-crash contract the fuzz tests pin down).
         if t == "F":
             name, dt = _parse_format(payload.decode("ascii", "replace"))
             formats[name] = dt
         elif t == "A":
+            if len(payload) < 4:
+                continue
             multi_id, msg_id = struct.unpack_from("<BH", payload, 0)
             topic = payload[3:].decode("ascii", "replace")
             subs[msg_id] = (topic, multi_id)
             buffers.setdefault(msg_id, bytearray())
         elif t == "D":
+            if len(payload) < 2:
+                continue
             (msg_id,) = struct.unpack_from("<H", payload, 0)
             if msg_id in buffers:
                 buffers[msg_id] += payload[2:]
         elif t in ("I", "M"):
             o = 1 if t == "I" else 2           # M has an extra is_continued
+            if len(payload) < o:
+                continue
             klen = payload[o - 1]
+            if len(payload) < o + klen:
+                continue
             key = payload[o: o + klen].decode("ascii", "replace")
             info[key] = payload[o + klen:]
         elif t in ("P", "Q"):
+            if not payload:
+                continue
             klen = payload[0]
+            if len(payload) < 1 + klen:
+                continue
             key = payload[1: 1 + klen].decode("ascii", "replace")
-            typ = key.split(" ")[0]
+            parts = key.split(" ", 1)
             val = payload[1 + klen:]
-            if typ == "float":
-                params[key.split(" ", 1)[1]] = struct.unpack("<f", val[:4])[0]
-            elif typ == "int32_t":
-                params[key.split(" ", 1)[1]] = struct.unpack("<i", val[:4])[0]
+            if len(parts) == 2 and len(val) >= 4:
+                if parts[0] == "float":
+                    params[parts[1]] = struct.unpack("<f", val[:4])[0]
+                elif parts[0] == "int32_t":
+                    params[parts[1]] = struct.unpack("<i", val[:4])[0]
         # 'B', 'L', 'C', 'O', 'S', 'R': flags/log-strings/sync — no payload
         # we need; skipped by construction.
 
@@ -131,6 +147,8 @@ def read_ulog(path: str, topics: Optional[List[str]] = None) -> Dict[str, Any]:
         if topics is not None and topic not in topics:
             continue
         buf = bytes(buffers.get(msg_id, b""))
+        if dt.itemsize == 0:  # zero-field format ("name:"): nothing to read
+            continue
         cnt = len(buf) // dt.itemsize
         if cnt == 0:
             continue

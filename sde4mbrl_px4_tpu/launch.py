@@ -168,7 +168,9 @@ def launch_router(cfg: Dict[str, Any]):
     # Prefer the C++ core (the actual mavlink-routerd replacement: poll(2)
     # loop, no GIL on the forwarding path); the Python twin is the fallback
     # when the native library isn't built. Both are parity-tested.
-    native = load_native() is not None and cfg.get("native", True)
+    lib = load_native()
+    native = (lib is not None and hasattr(lib, "router_new")
+              and cfg.get("native", True))
     router = (NativeRouter if native else Router)(endpoints)
     router.start()
     print(f"[launch] router ({'native' if native else 'python'}) fanning "

@@ -75,10 +75,15 @@ def test_routed_stack_engages_mpc(repo_root, iris_model, tmp_path):
         assert ok
         sim.start()
 
+        # Capture the OBSERVED engagement: re-reading live fcu.status after
+        # the loop would race the 20 ms staleness watchdog (the 50 Hz
+        # command stream rides exactly on the bound and can flap).
         deadline = time.time() + 20.0
-        while time.time() < deadline and fcu.status != FCUSim.MPC_ON:
+        engaged = False
+        while time.time() < deadline and not engaged:
+            engaged = fcu.status == FCUSim.MPC_ON
             time.sleep(0.05)
-        assert fcu.status == FCUSim.MPC_ON, (
+        assert engaged, (
             f"MPC never engaged through the router (status={fcu.status}, "
             f"router stats={router.stats})"
         )

@@ -123,9 +123,11 @@ def _run_isolated(test_name: str) -> None:
 
     here = os.path.abspath(__file__)
     env = dict(os.environ, SDE4MBRL_TEST_INNER="1")
+    # "-o addopts=" clears pyproject's "-n 4" so the inner run needs
+    # neither xdist workers nor even the plugin installed.
     r = subprocess.run(
         [sys.executable, "-m", "pytest", f"{here}::{test_name}", "-q",
-         "-n", "0", "-p", "no:cacheprovider"],
+         "-o", "addopts=", "-p", "no:cacheprovider"],
         capture_output=True, text=True, timeout=1200, env=env,
         cwd=os.path.dirname(os.path.dirname(here)),
     )

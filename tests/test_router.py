@@ -79,8 +79,9 @@ def topology(request):
         from sde4mbrl_px4_tpu.io.mavlink import load_native
         from sde4mbrl_px4_tpu.io.router import NativeRouter
 
-        if load_native() is None:
-            pytest.skip("native library not built (make -C csrc)")
+        lib = load_native()
+        if lib is None or not hasattr(lib, "router_new"):
+            pytest.skip("native router not built (make -C csrc)")
         r = NativeRouter([fcu, mavros_ep, mpc_ep])
         r.start()
         ports = {n: r.bound_port(n) for n in ("PX4", "Mavros", "MPC")}

@@ -11,11 +11,6 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture
-def repo_root():
-    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
 def _load_launch(repo_root, name):
     from sde4mbrl_px4_tpu.launch import _load
 

@@ -41,6 +41,9 @@ def run(impl, n_frames):
 
     got = 0
     t0 = time.perf_counter()
+    t_last = t0  # time of the LAST forwarded frame: the window ends there,
+    # not after the fixed drain-silence timeout (which would deflate the
+    # fast implementation's rate and compress the speedup toward 1x)
     for k in range(n_frames):
         src.sendto(frame, ("127.0.0.1", fcu_port))
         # drain opportunistically so the sink buffer never overflows
@@ -50,6 +53,7 @@ def run(impl, n_frames):
                 while True:
                     sink.recvfrom(512)
                     got += 1
+                    t_last = time.perf_counter()
             except BlockingIOError:
                 pass
     sink.settimeout(0.25)
@@ -57,9 +61,10 @@ def run(impl, n_frames):
         while True:
             sink.recvfrom(512)
             got += 1
+            t_last = time.perf_counter()
     except socket.timeout:
         pass
-    dt = time.perf_counter() - t0
+    dt = max(t_last - t0, 1e-9)
     r.stop()
     src.close()
     sink.close()

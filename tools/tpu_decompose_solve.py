@@ -41,15 +41,18 @@ def chain_time(fn, init_carry, label, n=5):
         return c
 
     jc = jax.jit(chained)
-    c = jc(init_carry)
-    jax.block_until_ready(jax.tree.leaves(c)[0])
+    c_warm = jc(init_carry)
+    jax.block_until_ready(jax.tree.leaves(c_warm)[0])
+    c = c_warm
     t0 = time.perf_counter()
     for _ in range(n):
         c = jc(c)
     jax.block_until_ready(jax.tree.leaves(c)[0])
     per = (time.perf_counter() - t0) / (n * K)
     print(f"{label:10s} {per*1e3:7.3f} ms/invocation", flush=True)
-    return per, c
+    # c_warm = carry AFTER the (untimed) warmup chain, c = after the timed
+    # chains — accumulators can be differenced to exclude cold-start solves
+    return per, c_warm, c
 
 
 def main():
@@ -68,10 +71,12 @@ def main():
         u, st1, rng1, xe = mpc_fn(x, rng, st, t, x)
         return (xe[1], rng1, st1, t + dt, acc + st1.num_steps, cnt + 1.0)
 
-    t_full, c_full = chain_time(
+    t_full, c_w, c_full = chain_time(
         full, (x, rng, st0, jnp.float32(T0), jnp.float32(0), jnp.float32(0)),
         "full")
-    steps_warm = float(c_full[4]) / float(c_full[5])
+    # exclude the untimed warmup chain's cold-start solves from the average
+    steps_warm = (float(c_full[4]) - float(c_w[4])) / max(
+        float(c_full[5]) - float(c_w[5]), 1.0)
     print(f"  (warm steps/solve: {steps_warm:.0f})")
 
     # --- pieces ------------------------------------------------------------
@@ -94,7 +99,7 @@ def main():
             b.lb, b.ub, st0.yk)
         return (k + 1.0, st.num_steps)
 
-    t_mega, _ = chain_time(mega, (jnp.float32(0), jnp.float32(0)), "mega_cold")
+    t_mega, _, _ = chain_time(mega, (jnp.float32(0), jnp.float32(0)), "mega_cold")
     st_cold = jax.jit(mega)((jnp.float32(0), jnp.float32(0)))
     print(f"  (cold-start steps/solve: {float(st_cold[1]):.0f})")
 
@@ -108,7 +113,7 @@ def main():
             b.lb, b.ub, st0.yk)
         return (k + 1.0, st.num_steps)
 
-    t_mega1, _ = chain_time(mega1, (jnp.float32(0), jnp.float32(0)), "mega_1iter")
+    t_mega1, _, _ = chain_time(mega1, (jnp.float32(0), jnp.float32(0)), "mega_1iter")
     steps_cold = float(st_cold[1])
     per_iter = (t_mega - t_mega1) / max(steps_cold - 1.0, 1.0)
     print(f"  fixed ~{t_mega1*1e3:.3f} ms (incl. 1 iter + ref build), "
@@ -123,7 +128,7 @@ def main():
         xe = oracle.trajectory(yk)
         return (yk, xe[1, 0])
 
-    t_traj, _ = chain_time(traj_orc, (st0.yk, jnp.float32(0)), "traj_orc")
+    t_traj, _, _ = chain_time(traj_orc, (st0.yk, jnp.float32(0)), "traj_orc")
 
     def ref_build(c):
         t, acc = c
