@@ -27,6 +27,12 @@ framework's own components:
 While it runs, ``python tools/analyze.py --live 127.0.0.1:14996`` attaches
 the live commanded-vs-achieved view to the router's tap endpoint.
 
+NOTE: run on an otherwise-idle host. The engaged loop's stability margin
+is real-time slack: under heavy CPU contention (e.g. the test suite
+running concurrently) the sim process's rx/step threads starve, command
+staleness blows past the watchdog bound, and the vehicle diverges — the
+same failure a real companion computer would show under CPU overload.
+
 Usage: python examples/full_sitl_stack.py [--seconds 8] [--ready-timeout 900]
 """
 import argparse
@@ -70,7 +76,8 @@ def main():
     with open(os.path.join(here, "configs", "router_sitl.conf")) as f:
         endpoints = parse_conf(f.read())
     _lib = load_native()
-    native = _lib is not None and hasattr(_lib, "router_new")
+    native = (_lib is not None and hasattr(_lib, "router_new")
+              and os.environ.get("SDE4MBRL_PY_ROUTER") != "1")
     router = (NativeRouter if native else Router)(endpoints)
     router.start()
     print(f"== router ({'native C++' if native else 'python'}) up: "
