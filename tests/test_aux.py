@@ -191,3 +191,17 @@ def test_repl_completion():
     assert "controller_init" in got and "controller_on" in got
     assert comp("zz", 0) is None
     save()
+
+
+def test_preflight_passes(repo_root):
+    """tools/preflight.py: the deployment-host check passes on this tree."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo_root, "tools", "preflight.py"),
+         "--cpu"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PREFLIGHT PASS" in r.stdout
