@@ -208,6 +208,11 @@ def make_mpc_from_config(
     pallas_chunk = int(cfg.get("pallas_chunk", 0))
     if use_pallas and num_particles > 128 and not pallas_chunk:
         use_pallas = False
+    if use_pallas and cfg.get("initial_state_std") is not None:
+        # Scenario-robust starts perturb x0 per particle INSIDE the rollout;
+        # the fused kernels take externally-drawn path noise only — route
+        # this (robustness, not flight-latency) mode through XLA.
+        use_pallas = False
     # Whole-solve mega-kernel (opt-out via SDE4MBRL_MEGA=0).
     use_mega = bool(use_pallas) and os.environ.get("SDE4MBRL_MEGA", "1") not in (
         "0", "false", "False"
@@ -218,6 +223,13 @@ def make_mpc_from_config(
     # (z, -z) Brownian paths — unbiased, lower-variance uncertainty cost at
     # zero extra rollout work (ops/rollout.draw_brownian).
     antithetic = bool(cfg.get("antithetic", False))
+    # Initial-state (state-estimate) uncertainty: each particle rolls out
+    # from its own perturbed start — scenario-robust MPC over the particle
+    # axis (ops/rollout x0_spread). Scalar or 13-vector std.
+    init_std = cfg.get("initial_state_std")
+    if init_std is not None:
+        init_std = jnp.broadcast_to(
+            jnp.asarray(init_std, jnp.float32), (13,))
     cost_fn = make_cost_fn(cost_params, time_steps)
     u_hover = jnp.broadcast_to(cost_params.uref, (H, n_u))
     if prox_m:
@@ -360,7 +372,7 @@ def make_mpc_from_config(
                 x_paths, sigmas = rollout_sde(
                     model, params, x, u_seq, time_steps, rng_noise, num_particles,
                     particle_sharding=particle_sharding, precision=mm_precision,
-                    antithetic=antithetic,
+                    antithetic=antithetic, x0_spread=init_std,
                 )
                 return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev[:n_u],
                                s_seq=s_seq)

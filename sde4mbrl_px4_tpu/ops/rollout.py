@@ -122,6 +122,7 @@ def rollout_sde(
     particle_sharding=None,
     precision=jax.lax.Precision.HIGHEST,
     antithetic: bool = False,
+    x0_spread: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Monte-Carlo EM rollout.
 
@@ -134,6 +135,14 @@ def rollout_sde(
         deterministic: zero the Brownian increments (mean dynamics) while
             still reporting sigma along the path for the uncertainty cost —
             the reference's ``num_particles: 1`` flight configuration.
+        x0_spread: optional (13,) per-dimension std of INITIAL-state
+            uncertainty (state-estimate noise): each particle starts from
+            its own draw ``x0 + x0_spread * N(0,1)`` (quaternion
+            re-normalized — small stds act as small-angle attitude
+            perturbations), so the particle mean in the cost optimizes the
+            EXPECTED cost over state-estimate scenarios (scenario-robust
+            MPC; ``initial_state_std`` config key). Ignored when
+            ``deterministic``.
         particle_sharding: optional ``NamedSharding`` with spec
             ``P(None, 'mc', None)`` constraining the (H, P, 13) noise block;
             GSPMD then propagates the particle sharding through the scan and
@@ -152,6 +161,12 @@ def rollout_sde(
     if particle_sharding is not None:
         noise = jax.lax.with_sharding_constraint(noise, particle_sharding)
     x0_b = jnp.broadcast_to(x0, (P, 13))
+    if x0_spread is not None and not deterministic:
+        # Independent of the Brownian stream (fold_in), antithetic-paired
+        # when the path noise is, so scenario pairs stay mirrored too.
+        z0 = draw_brownian(jax.random.fold_in(rng, 0x5EED), 1, P,
+                           dtype=x0.dtype, antithetic=antithetic)[0]
+        x0_b = _renorm_quat(x0_b + jnp.asarray(x0_spread, x0.dtype) * z0)
 
     def body(x, inp):
         u, dt, z = inp

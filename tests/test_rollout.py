@@ -199,3 +199,64 @@ def test_antithetic_config_solves(repo_root):
     sol = jax.jit(mpc_fn)(x0, rng, st, jnp.float32(0.0), x0)
     assert np.isfinite(np.asarray(sol.u_opt)).all()
     assert np.isfinite(float(sol.opt_state.opt_cost))
+
+
+def test_initial_state_spread(iris_model):
+    """x0_spread: particles start from perturbed states with the requested
+    std, quaternions stay unit, and the spread is reproducible per rng."""
+    from sde4mbrl_px4_tpu.ops.rollout import rollout_sde
+    from sde4mbrl_px4_tpu.core.types import hover_state
+
+    model, params = iris_model
+    x0 = hover_state()
+    H, P = 4, 256
+    u = jnp.full((H, 4), model.vehicle.hover_u, jnp.float32)
+    ts = jnp.full((H,), 0.05, jnp.float32)
+    std = np.zeros(13, np.float32)
+    std[0:3] = 0.2          # position uncertainty only
+    rng = jax.random.PRNGKey(3)
+    xp, _ = rollout_sde(model, params, x0, u, ts, rng, P,
+                        x0_spread=jnp.asarray(std))
+    starts = np.asarray(xp[:, 0])
+    assert abs(starts[:, 0].std() - 0.2) < 0.04      # requested spread
+    np.testing.assert_allclose(starts[:, 3:6], 0.0, atol=1e-6)  # vel untouched
+    np.testing.assert_allclose(np.linalg.norm(starts[:, 6:10], axis=1), 1.0,
+                               atol=1e-5)
+    xp2, _ = rollout_sde(model, params, x0, u, ts, rng, P,
+                         x0_spread=jnp.asarray(std))
+    np.testing.assert_array_equal(np.asarray(xp), np.asarray(xp2))
+    # without spread: all particles share the exact start
+    xp3, _ = rollout_sde(model, params, x0, u, ts, rng, P)
+    assert np.ptp(np.asarray(xp3[:, 0]), axis=0).max() == 0.0
+
+
+def test_initial_state_std_config_solves(repo_root):
+    """`initial_state_std` end-to-end: scenario-robust solve runs, stays
+    finite, and prices the uncertainty (expected cost above the
+    certainty-equivalent solve's)."""
+    import yaml
+
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+    from sde4mbrl_px4_tpu.io.config import load_yaml_config
+    from sde4mbrl_px4_tpu.core.types import hover_state
+
+    def solve(std):
+        cfg = load_yaml_config(
+            os.path.join(repo_root, "configs/iris_posctrl_mpc.yaml"))
+        cfg["num_particles"] = 16
+        cfg["apg_mpc"]["max_iter"] = 15
+        if std is not None:
+            cfg["initial_state_std"] = std
+        cfg, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(cfg)
+        x0 = hover_state()
+        rng = jax.random.PRNGKey(0)
+        st = reset_fn(x0, rng, x0)
+        tgt = np.asarray(hover_state()).copy()
+        tgt[2] = 1.0
+        sol = jax.jit(mpc_fn)(x0, rng, st, jnp.float32(0.0), jnp.asarray(tgt))
+        assert np.isfinite(np.asarray(sol.u_opt)).all()
+        return float(sol.opt_state.opt_cost)
+
+    c_robust = solve([0.15] * 3 + [0.1] * 3 + [0.0] * 4 + [0.05] * 3)
+    c_nominal = solve(None)
+    assert c_robust > c_nominal     # uncertainty is priced into the cost
