@@ -84,6 +84,29 @@ def main():
     print(f"\nplan aggressiveness low-noise={lo:.4f} vs high-noise={hi:.4f}")
     ok = hi < lo * 1.5 or True  # informational demo; always report
     print(f"{args.particles}-particle risk-aware planning: OK")
+
+    # -- variance reduction + scenario robustness (framework extensions) ----
+    # antithetic: true — paired (z, -z) sample paths, same particle budget,
+    # far lower cost-estimator noise (docs/PERFORMANCE.md);
+    # initial_state_std — each particle starts from its own state-estimate
+    # draw, pricing estimator noise into the plan.
+    for label, extra in (
+        ("antithetic", {"antithetic": True}),
+        ("state-noise", {"initial_state_std": [0.15] * 3 + [0.1] * 3
+                         + [0.0] * 4 + [0.05] * 3}),
+    ):
+        c = dict(cfg)
+        c.update(extra)
+        _, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(dict(c))
+        st = reset_fn(x0, rng, x0)
+        jm = jax.jit(mpc_fn)
+        sol = jm(x0, rng, st, 0.0, jnp.asarray(tgt))
+        jax.block_until_ready(sol.u_opt)
+        t0 = time.perf_counter()
+        sol = jm(x0, sol.rng, sol.opt_state, 0.0, jnp.asarray(tgt))
+        jax.block_until_ready(sol.u_opt)
+        print(f"{label:>10}: solve {1e3*(time.perf_counter()-t0):7.1f} ms  "
+              f"opt_cost {float(sol.opt_state.opt_cost):.3f}", flush=True)
     return 0
 
 
