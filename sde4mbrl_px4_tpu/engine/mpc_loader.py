@@ -228,6 +228,11 @@ def make_mpc_from_config(
     # axis (ops/rollout x0_spread). Scalar or 13-vector std.
     init_std = cfg.get("initial_state_std")
     if init_std is not None:
+        if num_particles <= 1:
+            raise ValueError(
+                "initial_state_std needs num_particles > 1 — the "
+                "deterministic single-particle path rolls the mean "
+                "dynamics and would silently ignore the scenario spread")
         init_std = jnp.broadcast_to(
             jnp.asarray(init_std, jnp.float32), (13,))
     cost_fn = make_cost_fn(cost_params, time_steps)
@@ -301,6 +306,23 @@ def make_mpc_from_config(
         x_ref = _build_ref(curr_t, xdes)
         u_prev = opt_state.yk[0]
 
+        # Receding-horizon warm-start shift (shared by BOTH solver paths —
+        # "repeat" is the parity default, "extrapolate" the config option).
+        def _shift(z_opt):
+            if warm_shift == "extrapolate":
+                tail = jnp.clip(2.0 * z_opt[-1:] - z_opt[-2:-1], lb_z, ub_z)
+            else:
+                tail = z_opt[-1:]
+            return jnp.concatenate([z_opt[1:], tail], axis=0)
+
+        # Stepsize carry across solves skips the init_stepsize->workable
+        # ramp, but only reset_option "increase" can re-grow a shrunken
+        # step; under "conservative" a carried-down stepsize would be
+        # monotone non-increasing across the whole flight, so there each
+        # solve restarts from init_stepsize (the original recovery path).
+        t_carry = (opt_state.stepsize if apg_cfg.reset_option == "increase"
+                   else None)
+
         if use_pallas:
             from sde4mbrl_px4_tpu.ops.pallas.solve_kernels import pallas_cost_oracle
 
@@ -329,7 +351,7 @@ def make_mpc_from_config(
                     model, params, cost_params, apg_cfg, time_steps, x, x_ref,
                     u_prev, noise_p, P, lb_z, ub_z, opt_state.yk,
                     interpret=pallas_interpret, chunk=pallas_chunk,
-                    t_init=opt_state.stepsize, return_traj=fuse_traj,
+                    t_init=t_carry, return_traj=fuse_traj,
                 )
                 if fuse_traj:
                     st, x_evol = st
@@ -342,9 +364,8 @@ def make_mpc_from_config(
                         interpret=pallas_interpret, chunk=pallas_chunk,
                     )
                     x_evol = oracle.trajectory(z_opt)
-                yk_next = jnp.concatenate([z_opt[1:], z_opt[-1:]], axis=0)
                 return MPCSolution(
-                    u_opt=u_opt, opt_state=st._replace(yk=yk_next),
+                    u_opt=u_opt, opt_state=st._replace(yk=_shift(z_opt)),
                     rng=rng_next, x_evol=x_evol,
                 )
             seq_cost = pallas_cost_oracle(
@@ -379,9 +400,10 @@ def make_mpc_from_config(
 
         # Carry the previous solve's linesearch stepsize (APGState.stepsize,
         # ``sde_control.py:444-450``) so warm solves skip the
-        # init_stepsize->workable ramp (~13 iterations at x1.3; measured).
+        # init_stepsize->workable ramp (~13 iterations at x1.3; measured);
+        # gated on reset_option (see t_carry above).
         st = apg_solve(seq_cost, opt_state.yk, lb_z, ub_z, apg_cfg,
-                       t_init=opt_state.stepsize)
+                       t_init=t_carry)
         z_opt = st.yk                               # (H, nZ)
         u_opt = z_opt[:, :n_u] if prox_m else z_opt
 
@@ -393,17 +415,7 @@ def make_mpc_from_config(
         else:
             x_evol = rollout_mean(model, params, x, u_opt, time_steps)
 
-        # Receding-horizon warm-start shift by one control period. The tail
-        # guess is configurable (``warm_shift``): "repeat" (default —
-        # standard receding-horizon practice and the parity baseline) or
-        # "extrapolate" (linear continuation of the last two knots, clipped
-        # into the input box; see tools/tpu_shift_ab.py for the A/B).
-        if warm_shift == "extrapolate":
-            tail = jnp.clip(2.0 * z_opt[-1:] - z_opt[-2:-1], lb_z, ub_z)
-        else:
-            tail = z_opt[-1:]
-        yk_next = jnp.concatenate([z_opt[1:], tail], axis=0)
-        st_out = st._replace(yk=yk_next)
+        st_out = st._replace(yk=_shift(z_opt))
         return MPCSolution(u_opt=u_opt, opt_state=st_out, rng=rng_next, x_evol=x_evol)
 
     return cfg, (reset_fn, mpc_fn), state_from_traj, bundle

@@ -62,6 +62,12 @@ def _parse_format(fmt: str) -> Tuple[str, Optional[np.dtype]]:
             fields.append((fname, base))
         else:
             fields.append((fname, base, (n,)))
+    # ULog spec: a TRAILING padding field is elided from each data message
+    # (it only pads the in-memory struct) — drop it so the dtype matches
+    # the wire layout, else every row after the first misaligns on real
+    # PX4 logs (e.g. vehicle_attitude's 'uint8_t[4] _padding0' tail).
+    if fields and fields[-1][0].startswith("_padding"):
+        fields.pop()
     return name, np.dtype(fields)
 
 
@@ -299,7 +305,9 @@ def ulog_to_flight_log(path: str) -> Dict[str, np.ndarray]:
         "state": state,
         "cmd_motors": cmd_motors,
         "cmd_thrust_rates": cmd_tr,
-        "ref": np.zeros((nrow, 13), np.float32),
+        # NaN = "no reference" in the flight-log schema (FlightRecorder);
+        # zeros would make analyze.py overlay a bogus origin-pinned ref.
+        "ref": np.full((nrow, 13), np.nan, np.float32),
         "mpc_on": zeros.astype(np.int64),
         "weight_motors": zeros.astype(np.int64),
         "solve_time": zeros,

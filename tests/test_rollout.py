@@ -260,3 +260,13 @@ def test_initial_state_std_config_solves(repo_root):
     c_robust = solve([0.15] * 3 + [0.1] * 3 + [0.0] * 4 + [0.05] * 3)
     c_nominal = solve(None)
     assert c_robust > c_nominal     # uncertainty is priced into the cost
+
+
+def test_initial_state_std_requires_particles(repo_root):
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+    from sde4mbrl_px4_tpu.io.config import load_yaml_config
+
+    cfg = load_yaml_config(os.path.join(repo_root, "configs/iris_posctrl_mpc.yaml"))
+    cfg["initial_state_std"] = 0.1        # num_particles stays 1
+    with pytest.raises(ValueError, match="num_particles"):
+        make_mpc_from_config(cfg)

@@ -171,3 +171,34 @@ def test_read_ulog_valid_header_garbage_body(tmp_path_factory, data):
     open(p, "wb").write(hdr + data)
     out = read_ulog(p)
     assert out["start_timestamp"] == 42
+
+
+def test_trailing_padding_elided_like_px4(tmp_path):
+    """Real PX4 logs elide a TRAILING _padding field from each data
+    message (ULog spec); the parser's dtype must match the wire layout or
+    every row after the first misaligns."""
+    p = str(tmp_path / "pad.ulg")
+    hdr = b"ULog\x01\x12\x35\x01" + struct.pack("<Q", 7)
+
+    def msg(t, payload):
+        return struct.pack("<HB", len(payload), ord(t)) + payload
+
+    body = msg("F", b"pt:uint64_t timestamp;float v;uint8_t[3] _padding0;")
+    body += msg("A", struct.pack("<BH", 0, 0) + b"pt")
+    for k in range(4):   # wire rows are 12 bytes: padding NOT written
+        body += msg("D", struct.pack("<H", 0)
+                    + struct.pack("<Qf", 1000 * k, 0.5 * k))
+    open(p, "wb").write(hdr + body)
+    d = read_ulog(p)["data"]["pt"]
+    np.testing.assert_array_equal(d["timestamp"], [0, 1000, 2000, 3000])
+    np.testing.assert_allclose(d["v"], [0.0, 0.5, 1.0, 1.5])
+
+
+def test_ulog_ref_column_is_nan(tmp_path):
+    """ulog_to_flight_log marks 'no reference' as NaN (the flight-log
+    schema's convention) so analyze.py doesn't overlay a bogus origin ref."""
+    log = _mklog(n=10)
+    p = str(tmp_path / "r.ulg")
+    flight_log_to_ulog(log, p)
+    back = ulog_to_flight_log(p)
+    assert np.isnan(back["ref"]).all()
