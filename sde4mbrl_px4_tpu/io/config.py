@@ -25,6 +25,18 @@ _DEFAULTS: Dict[str, Any] = {
     "long_step_dt": 0.05,
 }
 
+# Every top-level key any consumer reads (reference schema, SURVEY.md §2.10,
+# + this framework's documented extensions). Unknown keys WARN (typos like
+# "antithetik" silently doing nothing is an operator footgun) but never
+# fail — forward compatibility.
+_KNOWN_KEYS = set(_DEFAULTS) | {
+    "learned_model_params", "trajectory_path", "input_constr",
+    "state_constr", "cost_params", "apg_mpc", "seed",
+    # framework extensions (engine/mpc_loader.py, parallel/)
+    "antithetic", "initial_state_std", "warm_shift", "matmul_precision",
+    "pallas_chunk", "use_pallas", "pallas_interpret", "convert_to_enu",
+}
+
 
 def load_yaml_config(path: str) -> Dict[str, Any]:
     """Load + validate an MPC YAML config; fills schema defaults."""
@@ -38,6 +50,14 @@ def load_yaml_config(path: str) -> Dict[str, Any]:
     for req in ("input_constr", "cost_params", "apg_mpc"):
         if req not in cfg:
             raise ValueError(f"config {path} missing required block {req!r}")
+    unknown = sorted(k for k in cfg
+                     if k not in _KNOWN_KEYS and not k.startswith("_"))
+    if unknown:
+        import warnings
+
+        warnings.warn(
+            f"config {os.path.basename(path)}: unknown key(s) {unknown} "
+            "will be ignored (typo?)", stacklevel=2)
     n_u = len(cfg["input_constr"]["input_id"])
     if len(cfg["input_constr"]["input_bound"]) != n_u:
         raise ValueError("input_bound length must match input_id length")

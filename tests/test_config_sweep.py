@@ -90,3 +90,22 @@ def test_pallas_chunk_config_key(repo_root):
     st = reset_fn(x, rng, x)
     u, st2, rng2, xe = mpc_fn(x, rng, st, 0.0, x)
     assert np.isfinite(np.asarray(u)).all()
+
+
+def test_unknown_key_warns(repo_root, tmp_path):
+    """A typo'd config key warns instead of silently doing nothing."""
+    import warnings
+
+    import yaml
+
+    from sde4mbrl_px4_tpu.io.config import load_yaml_config
+
+    cfg = yaml.safe_load(open(os.path.join(repo_root,
+                                           "configs/iris_posctrl_mpc.yaml")))
+    cfg["antithetik"] = True          # typo
+    p = tmp_path / "typo.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load_yaml_config(str(p))
+    assert any("antithetik" in str(x.message) for x in w)
