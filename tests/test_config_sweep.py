@@ -109,3 +109,33 @@ def test_unknown_key_warns(repo_root, tmp_path):
         warnings.simplefilter("always")
         load_yaml_config(str(p))
     assert any("antithetik" in str(x.message) for x in w)
+
+
+def test_warm_shift_extrapolate_solves(repo_root):
+    """warm_shift: extrapolate is live on the XLA path: the carried warm
+    start's tail is the clipped linear continuation, not the repeat."""
+    import jax
+    import jax.numpy as jnp
+
+    from sde4mbrl_px4_tpu.core.types import hover_state
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+    from sde4mbrl_px4_tpu.io.config import load_yaml_config
+
+    def tail_gap(shift):
+        cfg = load_yaml_config(os.path.join(repo_root,
+                                            "configs/iris_posctrl_mpc.yaml"))
+        cfg["apg_mpc"]["max_iter"] = 8
+        cfg["warm_shift"] = shift
+        _, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(cfg)
+        x0 = hover_state()
+        tgt = np.asarray(hover_state()).copy()
+        tgt[0] = 1.0   # make the optimal sequence non-constant
+        rng = jax.random.PRNGKey(0)
+        st = reset_fn(x0, rng, x0)
+        sol = jax.jit(mpc_fn)(x0, rng, st, jnp.float32(0.0), jnp.asarray(tgt))
+        yk = np.asarray(sol.opt_state.yk)
+        return float(np.abs(yk[-1] - yk[-2]).max())
+
+    # repeat: last two rows identical; extrapolate: they differ (continuation)
+    assert tail_gap("repeat") == 0.0
+    assert tail_gap("extrapolate") > 0.0

@@ -203,3 +203,22 @@ def test_parse_reference_hexa_conf_uart_ignored():
     eps = parse_conf(open(ref).read())
     assert [e.name for e in eps] == ["Mavros", "MPC"]
     assert eps[1].allow_in == {368} and eps[1].allow_out == {367}
+
+
+def test_native_router_safe_after_stop():
+    """stats/bound_port after stop() must not touch the freed native handle
+    (previously passed NULL into C and segfaulted)."""
+    from sde4mbrl_px4_tpu.io.mavlink import load_native
+    from sde4mbrl_px4_tpu.io.router import NativeRouter
+
+    lib = load_native()
+    if lib is None or not hasattr(lib, "router_new"):
+        pytest.skip("native router not built (make -C csrc)")
+    r = NativeRouter([Endpoint("a", "127.0.0.1", 0, mode="Server")])
+    r.start()
+    assert r.stats["a"] == 0
+    r.stop()
+    assert r.stats == {"a": -1}
+    with pytest.raises(RuntimeError):
+        r.bound_port("a")
+    r.stop()  # idempotent
