@@ -26,6 +26,22 @@ state arrives in, ``sde_control.py:228``). With ``convert_to_enu=True``,
 every reference call site consistent, including the 'none'-mode call
 ``mpc_pos_solver(x, ..., xdes=enu2ned(curr_state))`` (``sde_control.py:400``)
 since the world-frame swap is an involution.
+
+Config keys beyond the reference schema (all optional, all default to
+reference-parity behavior):
+
+- ``antithetic: true`` — paired (z, -z) Monte-Carlo paths (variance
+  reduction; docs/PERFORMANCE.md);
+- ``initial_state_std`` — scenario-robust MPC over state-estimate noise
+  (scalar or 13-vector std; needs ``num_particles > 1``);
+- ``warm_shift: repeat|extrapolate`` — receding-horizon tail guess
+  (measured: extrapolate is worse, 172 vs 73 steps mean — keep repeat);
+- ``matmul_precision: highest|default|...`` — MXU input precision
+  (default: HIGHEST for reference-parity P<=128, bf16 for large P);
+- ``pallas_chunk: N`` — force the in-kernel chunked particle path;
+- env ``SDE4MBRL_PALLAS=0/1`` / ``SDE4MBRL_MEGA=0`` (or the
+  ``make_mpc_from_config(use_pallas=...)`` argument) — kernel routing
+  overrides (defaults measured per P, see routing notes below).
 """
 from __future__ import annotations
 

@@ -32,9 +32,9 @@ _DEFAULTS: Dict[str, Any] = {
 _KNOWN_KEYS = set(_DEFAULTS) | {
     "learned_model_params", "trajectory_path", "input_constr",
     "state_constr", "cost_params", "apg_mpc", "seed",
-    # framework extensions (engine/mpc_loader.py, parallel/)
+    # framework extensions (engine/mpc_loader.py)
     "antithetic", "initial_state_std", "warm_shift", "matmul_precision",
-    "pallas_chunk", "use_pallas", "pallas_interpret", "convert_to_enu",
+    "pallas_chunk",
 }
 
 
