@@ -75,3 +75,29 @@ def test_command_trace_is_sane(cfg_paths):
     np.testing.assert_allclose(w[:, 0], u[:, :4].mean(1), atol=1e-6)
     # hovering near equilibrium: thrust near the hover command
     assert abs(float(np.median(w[:, 0])) - 0.71) < 0.2
+
+
+# ---- stored golden: command-sequence tolerance across COMMITS ---------------
+
+_GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "goldens", "iris_posctrl_trace.npz")
+
+
+def test_command_trace_matches_stored_golden(cfg_paths):
+    """BASELINE's north star is bit-tolerance-matched command sequences.
+    The in-run determinism tests above can't catch a refactor that changes
+    the numbers deterministically — this pins the replay trace to a golden
+    recorded in-tree. Regenerate deliberately after an intended numerical
+    change with SDE4MBRL_REGEN_GOLDEN=1 (and justify it in the commit)."""
+    tr = _replay(cfg_paths, seed=0)
+    if os.environ.get("SDE4MBRL_REGEN_GOLDEN") == "1":
+        os.makedirs(os.path.dirname(_GOLDEN), exist_ok=True)
+        np.savez(_GOLDEN, trace=tr)
+        pytest.skip("golden regenerated")
+    if not os.path.exists(_GOLDEN):
+        pytest.fail("golden trace missing — run with SDE4MBRL_REGEN_GOLDEN=1")
+    ref = np.load(_GOLDEN)["trace"]
+    assert ref.shape == tr.shape
+    # f32 CPU XLA is deterministic for a fixed jaxlib; across jaxlib
+    # versions op fusion may reassociate — hence tolerance, not equality.
+    np.testing.assert_allclose(tr, ref, atol=1e-4, rtol=1e-4)
