@@ -101,3 +101,32 @@ def test_command_trace_matches_stored_golden(cfg_paths):
     # f32 CPU XLA is deterministic for a fixed jaxlib; across jaxlib
     # versions op fusion may reassociate — hence tolerance, not equality.
     np.testing.assert_allclose(tr, ref, atol=1e-4, rtol=1e-4)
+
+
+_GOLDEN_TRAJ = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "goldens", "iris_traj_trace.npz")
+
+
+def test_traj_trace_matches_stored_golden(cfg_paths):
+    """Same anchor for the TRAJECTORY mode (exercises state_from_traj
+    windowing + the traj solver's warm-start chain across commits)."""
+    from sde4mbrl_px4_tpu.engine.controller import RecedingHorizonController
+
+    c = RecedingHorizonController(*cfg_paths, seed=0, now_fn=lambda: 0.0)
+    cmds = []
+    x = np.array(enu2ned(hover_state()), np.float32)
+    for k in range(6):
+        t_usec = 1e6 + k * 50_000.0
+        c.solve_once(x, CONTROL_STATES["traj"], 0.3 + 0.05 * k,
+                     np.asarray(hover_state()), t_usec)
+        u6, w4, idx = c.pick_command(t_usec)
+        cmds.append(np.concatenate([u6, w4, [idx]]))
+    tr = np.stack(cmds)
+    if os.environ.get("SDE4MBRL_REGEN_GOLDEN") == "1":
+        os.makedirs(os.path.dirname(_GOLDEN_TRAJ), exist_ok=True)
+        np.savez(_GOLDEN_TRAJ, trace=tr)
+        pytest.skip("golden regenerated")
+    if not os.path.exists(_GOLDEN_TRAJ):
+        pytest.fail("golden trace missing — run with SDE4MBRL_REGEN_GOLDEN=1")
+    ref = np.load(_GOLDEN_TRAJ)["trace"]
+    np.testing.assert_allclose(tr, ref, atol=1e-4, rtol=1e-4)
