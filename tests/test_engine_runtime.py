@@ -139,6 +139,22 @@ def test_service_channel_over_udp(node):
         bad = cli._call({"cmd": "nope"})
         assert not bad["ok"]
         assert cli.initialize_mpc() in (True, False)  # still responsive
+
+        # malformed wire input must never kill the service loop: raw
+        # garbage, truncated JSON, wrong types, huge/weird field values
+        import socket as _socket
+
+        raw = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        for payload in (b"\x00\xff\xfe", b"{not json",
+                        b'{"cmd": "set_mode", "mode": "NaN"}',
+                        b'{"cmd": "set_mode", "mode": 3, "target": "x"}',
+                        b'{"cmd": "set_mode", "mode": 3, "target": [1]}',
+                        b'[1,2,3]', b'null', b'{"cmd": 42}'):
+            raw.sendto(payload, ("127.0.0.1", port))
+        raw.close()
+        # service still answers a well-formed request afterwards
+        st2 = cli.status()
+        assert "num_steps" in st2
     finally:
         cli.close()
 
