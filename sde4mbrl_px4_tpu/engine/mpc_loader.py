@@ -38,6 +38,8 @@ reference-parity behavior):
   (measured: extrapolate is worse, 172 vs 73 steps mean — keep repeat);
 - ``matmul_precision: highest|default|...`` — MXU input precision
   (default: HIGHEST for reference-parity P<=128, bf16 for large P);
+- ``solver: mppi`` + ``mppi:`` block — sampling-based MPPI solver family
+  (solver/mppi.py) instead of the reference's gradient APG;
 - ``pallas_chunk: N`` — force the in-kernel chunked particle path;
 - env ``SDE4MBRL_PALLAS=0/1`` / ``SDE4MBRL_MEGA=0`` (or the
   ``make_mpc_from_config(use_pallas=...)`` argument) — kernel routing
@@ -65,6 +67,7 @@ from sde4mbrl_px4_tpu.ops.rollout import (
     draw_brownian, make_time_steps, rollout_mean, rollout_sde,
 )
 from sde4mbrl_px4_tpu.solver.apg import APGConfig, APGState, apg_solve
+from sde4mbrl_px4_tpu.solver.mppi import MPPIConfig, mppi_solve
 
 __all__ = ["load_mpc_from_cfgfile", "MPCBundle", "make_mpc_from_config"]
 
@@ -229,6 +232,17 @@ def make_mpc_from_config(
         # the fused kernels take externally-drawn path noise only — route
         # this (robustness, not flight-latency) mode through XLA.
         use_pallas = False
+    # Solver family: the reference's gradient-based APG (default) or the
+    # sampling-based MPPI twin (``solver: mppi``; solver/mppi.py). MPPI's
+    # hot shape is K~512 batched candidate rollouts per round — the
+    # (batch, feat) matmul regime where XLA wins (same routing rationale as
+    # P>128 above), so it bypasses the fused kernels.
+    solver_kind = str(cfg.get("solver", "apg"))
+    if solver_kind not in ("apg", "mppi"):
+        raise ValueError(f"unknown solver {solver_kind!r} (apg|mppi)")
+    mppi_cfg = MPPIConfig.from_config(cfg)
+    if solver_kind == "mppi":
+        use_pallas = False
     # Whole-solve mega-kernel (opt-out via SDE4MBRL_MEGA=0).
     use_mega = bool(use_pallas) and os.environ.get("SDE4MBRL_MEGA", "1") not in (
         "0", "false", "False"
@@ -317,7 +331,13 @@ def make_mpc_from_config(
         if convert_to_enu and state_from_traj is None:
             xdes = enu2ned(xdes)
         curr_t = jnp.asarray(curr_t, jnp.float32)
-        rng_noise, rng_next = jax.random.split(rng)
+        if solver_kind == "mppi":
+            # Extra stream for exploration noise; the 2-way split is kept
+            # for APG so its Brownian draws (and the stored golden traces)
+            # are untouched.
+            rng_noise, rng_mppi, rng_next = jax.random.split(rng, 3)
+        else:
+            rng_noise, rng_next = jax.random.split(rng)
 
         x_ref = _build_ref(curr_t, xdes)
         u_prev = opt_state.yk[0]
@@ -414,12 +434,16 @@ def make_mpc_from_config(
                 return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev[:n_u],
                                s_seq=s_seq)
 
-        # Carry the previous solve's linesearch stepsize (APGState.stepsize,
-        # ``sde_control.py:444-450``) so warm solves skip the
-        # init_stepsize->workable ramp (~13 iterations at x1.3; measured);
-        # gated on reset_option (see t_carry above).
-        st = apg_solve(seq_cost, opt_state.yk, lb_z, ub_z, apg_cfg,
-                       t_init=t_carry)
+        if solver_kind == "mppi":
+            st = mppi_solve(seq_cost, opt_state.yk, lb_z, ub_z, mppi_cfg,
+                            rng_mppi)
+        else:
+            # Carry the previous solve's linesearch stepsize
+            # (APGState.stepsize, ``sde_control.py:444-450``) so warm solves
+            # skip the init_stepsize->workable ramp (~13 iterations at x1.3;
+            # measured); gated on reset_option (see t_carry above).
+            st = apg_solve(seq_cost, opt_state.yk, lb_z, ub_z, apg_cfg,
+                           t_init=t_carry)
         z_opt = st.yk                               # (H, nZ)
         u_opt = z_opt[:, :n_u] if prox_m else z_opt
 
