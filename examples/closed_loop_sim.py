@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--log", default=None, help="write an .npz flight log")
     ap.add_argument("--no-pipeline", action="store_true",
                     help="blocking solver dispatch (pipeline off)")
+    ap.add_argument("--solver", default="apg", choices=("apg", "mppi"),
+                    help="solver family: the reference's gradient APG or "
+                         "the sampling MPPI twin (solver/mppi.py)")
     ap.add_argument("--vehicle", default="iris", choices=("iris", "hexa"),
                     help="airframe: picks configs/<vehicle>_{traj,posctrl}"
                          "_mpc.yaml and the matching model checkpoint")
@@ -65,10 +68,31 @@ def main():
             return self.t
     clock = SimClock()
 
-    print("== compiling engine (two MPC solvers) ==", flush=True)
+    traj_cfg = os.path.join(here, f"configs/{args.vehicle}_traj_mpc.yaml")
+    pos_cfg = os.path.join(here, f"configs/{args.vehicle}_posctrl_mpc.yaml")
+    if args.solver == "mppi":
+        # Inject the solver family into temp copies of the shipped configs.
+        import tempfile
+        import yaml as _yaml
+
+        d = tempfile.mkdtemp(prefix="mppi_cfg_")
+        for src in (traj_cfg, pos_cfg):
+            c = _yaml.safe_load(open(src))
+            c["solver"] = "mppi"
+            for key in ("learned_model_params", "trajectory_path"):
+                if c.get(key) and not os.path.isabs(c[key]):
+                    c[key] = os.path.join(os.path.dirname(src), c[key])
+            dst = os.path.join(d, os.path.basename(src))
+            _yaml.safe_dump(c, open(dst, "w"))
+            if src == traj_cfg:
+                traj_cfg = dst
+            else:
+                pos_cfg = dst
+
+    print(f"== compiling engine (two MPC solvers, {args.solver}) ==", flush=True)
     node = SDEControlNode(
-        os.path.join(here, f"configs/{args.vehicle}_traj_mpc.yaml"),
-        os.path.join(here, f"configs/{args.vehicle}_posctrl_mpc.yaml"),
+        traj_cfg,
+        pos_cfg,
         seed=0,
         now_fn=clock,
         pipeline=not args.no_pipeline,
