@@ -71,19 +71,20 @@ def main():
     traj_cfg = os.path.join(here, f"configs/{args.vehicle}_traj_mpc.yaml")
     pos_cfg = os.path.join(here, f"configs/{args.vehicle}_posctrl_mpc.yaml")
     if args.solver == "mppi":
-        # Inject the solver family into temp copies of the shipped configs.
+        # Inject the solver family into temp copies of the shipped configs;
+        # load_yaml_config already resolves the relative asset paths.
         import tempfile
         import yaml as _yaml
 
-        d = tempfile.mkdtemp(prefix="mppi_cfg_")
+        from sde4mbrl_px4_tpu.io.config import load_yaml_config
+
+        tmpdir = tempfile.TemporaryDirectory(prefix="mppi_cfg_")
         for src in (traj_cfg, pos_cfg):
-            c = _yaml.safe_load(open(src))
+            c = load_yaml_config(src)
             c["solver"] = "mppi"
-            for key in ("learned_model_params", "trajectory_path"):
-                if c.get(key) and not os.path.isabs(c[key]):
-                    c[key] = os.path.join(os.path.dirname(src), c[key])
-            dst = os.path.join(d, os.path.basename(src))
-            _yaml.safe_dump(c, open(dst, "w"))
+            dst = os.path.join(tmpdir.name, os.path.basename(src))
+            _yaml.safe_dump({k: v for k, v in c.items()
+                             if not k.startswith("_")}, open(dst, "w"))
             if src == traj_cfg:
                 traj_cfg = dst
             else:

@@ -146,7 +146,14 @@ class ControlAutomata:
         if not self.reset_done and mode != CTRL_INACTIVE:
             return False, "controller not reset: run controller_init first"
         if target_pose is not None:
-            self.target_x = np.asarray(target_pose, np.float32)
+            target_pose = np.asarray(target_pose, np.float32)
+            # The reference's FollowTraj target is a typed ROS pose; over
+            # the untyped JSON/UDP channel the shape must be validated or a
+            # short list silently broadcasts into all 13 state slots.
+            if target_pose.shape != (13,):
+                return False, (f"target_pose must be 13 floats "
+                               f"[p v q w], got shape {target_pose.shape}")
+            self.target_x = target_pose
 
         if mode == CTRL_TEST:
             self.test_mode = True

@@ -29,9 +29,10 @@ MPC YAML:
 
 Observability mapping (APGState): ``num_steps`` = iters, ``avg_linesearch``
 = samples (evaluations per round), ``stepsize``/``avg_stepsize`` = sigma,
-``grad_sqr`` = weighted-ensemble variance (a convergence proxy — gradients
-don't exist here), ``init_cost``/``opt_cost`` = mean-sequence cost before/
-after.
+``grad_sqr`` = the last round's weight NOT on the incumbent (gradients
+don't exist here; like grad_norm it -> 0 when the solver stops moving),
+``init_cost``/``opt_cost`` = cost of the warm start / returned sequence
+(the returned sequence is never worse than the warm start).
 """
 from __future__ import annotations
 
@@ -66,6 +67,13 @@ class MPPIConfig(NamedTuple):
     @staticmethod
     def from_config(cfg: Dict[str, Any]) -> "MPPIConfig":
         m = cfg.get("mppi") or {}
+        unknown = sorted(set(m) - {"samples", "sigma", "temperature",
+                                   "iters", "noise_beta"})
+        if unknown:
+            import warnings
+
+            warnings.warn(f"mppi block: unknown key(s) {unknown} will be "
+                          "ignored (typo?)", stacklevel=2)
         return MPPIConfig(
             samples=int(m.get("samples", 256)),
             sigma=float(m.get("sigma", 0.02)),
@@ -101,21 +109,24 @@ def mppi_solve(
     u0 = box_project(u_init, lb, ub)
     f0 = oracle.value(u0)
 
-    def _smooth(eps):
-        """AR(1) along the horizon, unit stationary variance."""
+    def _smooth(eps, c0):
+        """AR(1) along the horizon; ``c0`` ~ N(0,1) seeds the chain so the
+        process is at its unit STATIONARY variance from t=0 (a zero carry
+        would under-explore the early horizon — exactly the steps that get
+        applied — by a factor sqrt(1-beta^2))."""
         def step(c, e):
             c = beta * c + jnp.sqrt(1.0 - beta * beta) * e
             return c, c
-        _, out = jax.lax.scan(step, jnp.zeros_like(eps[:, 0]),
-                              jnp.moveaxis(eps, 1, 0))
+        _, out = jax.lax.scan(step, c0, jnp.moveaxis(eps, 1, 0))
         return jnp.moveaxis(out, 0, 1)
 
     def body(carry, _):
         u_mean, rng = carry
-        rng, sub = jax.random.split(rng)
+        rng, sub, sub0 = jax.random.split(rng, 3)
         eps = jax.random.normal(sub, (K,) + u_mean.shape, dtype=u_mean.dtype)
         if cfg.noise_beta > 0.0:
-            eps = _smooth(eps)
+            c0 = jax.random.normal(sub0, eps[:, 0].shape, dtype=eps.dtype)
+            eps = _smooth(eps, c0)
         eps = sigma * eps
         # Candidate 0 is the INCUMBENT (zero perturbation): the round can
         # then hold position when no sample improves — without it every
@@ -130,15 +141,23 @@ def mppi_solve(
         spread_j = jnp.maximum(jnp.mean(costs) - jnp.min(costs), 1e-9)
         w = jax.nn.softmax(-(costs - jnp.min(costs)) / (lam * spread_j))
         u_new = jnp.einsum("k,khn->hn", w, cands)
-        # effective-sample-size-style spread: low = collapsed onto one
-        # candidate (converged or temperature too sharp)
-        ess = jnp.sum(w * w)
-        return (u_new, rng), (jnp.min(costs), ess)
+        # Movement proxy: weight NOT on the incumbent. -> 0 when the round
+        # keeps the current sequence (stationary/converged), matching the
+        # APG convention that grad_norm -> 0 at convergence.
+        moved = 1.0 - w[0]
+        return (u_new, rng), (jnp.min(costs), moved)
 
-    (u_mean, _), (_min_costs, spreads) = jax.lax.scan(
+    (u_mean, _), (_min_costs, moved) = jax.lax.scan(
         body, (u0, rng), None, length=int(cfg.iters))
     u_mean = box_project(u_mean, lb, ub)
-    f_final = oracle.value(u_mean)   # the cost of the RETURNED sequence
+    f_final = oracle.value(u_mean)
+    # Never return a sequence worse than the warm start it was given: on a
+    # noise-sensitive cost every candidate in a round can be worse than the
+    # incumbent, and the softmax average would still mix them in (APG
+    # tracks best_u the same way). Both costs are already evaluated.
+    worse = f_final > f0
+    u_mean = jnp.where(worse, u0, u_mean)
+    f_final = jnp.where(worse, f0, f_final)
 
     return APGState(
         yk=u_mean,
@@ -146,7 +165,7 @@ def mppi_solve(
         stepsize=jnp.float32(cfg.sigma),
         avg_stepsize=jnp.float32(cfg.sigma),
         avg_linesearch=jnp.float32(K),
-        grad_sqr=spreads[-1],
+        grad_sqr=moved[-1],
         init_cost=f0,
         opt_cost=f_final,
     )

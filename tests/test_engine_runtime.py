@@ -155,6 +155,11 @@ def test_service_channel_over_udp(node):
         # service still answers a well-formed request afterwards
         st2 = cli.status()
         assert "num_steps" in st2
+        # and a wrong-length target is REJECTED, not broadcast into the
+        # 13-state target (engine/controller.py set_mode validation)
+        ok_bad, msg_bad = cli.set_mode(CTRL_POSE_ACTIVE, target_pose=[1.0])
+        assert not ok_bad and "13" in msg_bad
+        np.testing.assert_allclose(node.ctrl.automata.target_x[2], 2.0)
     finally:
         cli.close()
 
