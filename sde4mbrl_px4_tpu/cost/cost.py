@@ -46,6 +46,12 @@ class CostParams(NamedTuple):
     u_slew_constr: Optional[jax.Array]  # (n_u, 2) [lo, hi] du/dt box, or None
     u_slew_constr_coeff: jax.Array      # scalar
     discount: jax.Array        # scalar
+    # Risk-sensitive particle reduction (SURVEY.md §7 L3: "risk reduction
+    # across particles (mean / mean+lambda*std)"): 0 = risk-neutral mean
+    # (reference parity); > 0 adds lambda * std of the per-particle
+    # discounted stage cost, penalizing plans whose outcome SPREAD is wide,
+    # not just whose mean is high. ``cost_params.risk_lambda`` config key.
+    risk_lambda: jax.Array = None  # scalar; None coerced in from_config
     # Soft state constraints (``state_constr`` block, present-but-commented
     # in the reference configs, ``iris_sitl_traj_mpc.yaml:16-29`` — part of
     # the solver's capability surface per SURVEY.md §2.10). Densified onto
@@ -127,6 +133,11 @@ class CostParams(NamedTuple):
             u_slew_constr=None if slew_constr is None else jnp.asarray(slew_constr, jnp.float32),
             u_slew_constr_coeff=jnp.float32(cp.get("u_slew_constr_coeff", 0.0)),
             discount=jnp.float32(cfg.get("discount", 1.0)),
+            # None (not 0.0) when unused: sqrt's gradient at zero spread is
+            # NaN, and 0.0 * NaN would still poison every P=1 gradient —
+            # the term must be absent from the graph, not multiplied away.
+            risk_lambda=(jnp.float32(cp["risk_lambda"])
+                         if cp.get("risk_lambda") else None),
             state_pen13=pen13,
             state_lo13=lo13,
             state_hi13=hi13,
@@ -192,7 +203,17 @@ def make_cost_fn(cp: CostParams, time_steps: jax.Array):
             under = jnp.maximum(cp.state_lo13 - xs, 0.0) * cp.state_inv_scale13
             viol = jnp.sum(cp.state_pen13 * (over * over + under * under), -1)
             track = track + cp.constr_pen * viol
-        j_track = jnp.mean(jnp.sum(disc * track, axis=-1))
+        # Risk reduction across particles (SURVEY.md §7 L3): mean, plus an
+        # optional lambda * std term on the per-particle discounted totals.
+        # When the particle axis is sharded, XLA lowers both moments to
+        # psum over the mesh.
+        tr_p = jnp.sum(disc * track, axis=-1)          # (P,)
+        j_track = jnp.mean(tr_p)
+        if cp.risk_lambda is not None and tr_p.shape[0] > 1:
+            # sqrt(var + eps): keeps the gradient finite when all particle
+            # costs coincide (e.g. near-zero diffusion).
+            var = jnp.mean((tr_p - j_track) ** 2)
+            j_track = j_track + cp.risk_lambda * jnp.sqrt(var + 1e-12)
 
         # Control effort about uref.
         du = u_seq - cp.uref

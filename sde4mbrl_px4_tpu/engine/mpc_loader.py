@@ -38,6 +38,8 @@ reference-parity behavior):
   (measured: extrapolate is worse, 172 vs 73 steps mean — keep repeat);
 - ``matmul_precision: highest|default|...`` — MXU input precision
   (default: HIGHEST for reference-parity P<=128, bf16 for large P);
+- ``cost_params.risk_lambda`` — risk-sensitive particle reduction
+  mean + lambda*std (SURVEY.md §7 L3); 0/absent = risk-neutral parity;
 - ``solver: mppi`` + ``mppi:`` block — sampling-based MPPI solver family
   (solver/mppi.py) instead of the reference's gradient APG;
 - ``pallas_chunk: N`` — force the in-kernel chunked particle path;
@@ -226,6 +228,10 @@ def make_mpc_from_config(
     # divide num_particles).
     pallas_chunk = int(cfg.get("pallas_chunk", 0))
     if use_pallas and num_particles > 128 and not pallas_chunk:
+        use_pallas = False
+    if use_pallas and cfg["cost_params"].get("risk_lambda"):
+        # The fused kernels reduce particles by MEAN internally; the
+        # mean+lambda*std risk reduction lives in the XLA cost assembly.
         use_pallas = False
     if use_pallas and cfg.get("initial_state_std") is not None:
         # Scenario-robust starts perturb x0 per particle INSIDE the rollout;

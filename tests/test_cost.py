@@ -185,3 +185,56 @@ def test_state_constraint_proximal_fields():
     assert cp.slack_sel.shape == (1, 13)
     assert cp.state_pen13 is None
     assert float(cp.slack_lo[0]) == -1.0 and float(cp.slack_hi[0]) == 1.0
+
+
+def test_risk_lambda_prices_outcome_spread(iris_model):
+    """SURVEY §7 L3 risk reduction (mean + lambda*std): wide-outcome plans
+    cost more under lambda > 0, the gradient stays finite, and lambda
+    absent leaves the value bit-identical to the risk-neutral mean."""
+    from sde4mbrl_px4_tpu.cost.cost import make_cost_fn
+
+    cp0 = _cfg()
+    cp_r = _cfg(cost_params={"risk_lambda": 2.0})
+
+    H, P = 6, 16
+    ts = jnp.full((H,), 0.05)
+    f0 = make_cost_fn(cp0, ts)
+    fr = make_cost_fn(cp_r, ts)
+    rng = jax.random.PRNGKey(0)
+    x_ref = jnp.broadcast_to(hover_state(), (H + 1, 13))
+    u = jnp.full((H, 4), 0.71)
+    # spread paths: per-particle random walks around hover
+    xp = jnp.broadcast_to(hover_state(), (P, H + 1, 13)) \
+        + 0.1 * jax.random.normal(rng, (P, H + 1, 13))
+    j0 = float(f0(xp, None, u, x_ref))
+    jr = float(fr(xp, None, u, x_ref))
+    assert jr > j0  # spread is priced
+
+    # identical particles: spread term ~ 0 (sqrt(eps) only)
+    xp_same = jnp.broadcast_to(xp[0], (P, H + 1, 13))
+    assert abs(float(fr(xp_same, None, u, x_ref))
+               - float(f0(xp_same, None, u, x_ref))) < 1e-3
+
+    # gradient stays finite through the risk term
+    g = jax.grad(lambda uu: fr(xp, None, uu, x_ref))(u)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_risk_lambda_solves_via_config(repo_root):
+    import os
+
+    from sde4mbrl_px4_tpu.core.types import hover_state as hs
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+    from sde4mbrl_px4_tpu.io.config import load_yaml_config
+
+    cfg = load_yaml_config(os.path.join(repo_root, "configs/iris_posctrl_mpc.yaml"))
+    cfg["num_particles"] = 8
+    cfg["cost_params"]["risk_lambda"] = 1.0
+    cfg["apg_mpc"]["max_iter"] = 5
+    cfg, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(cfg)
+    x0 = hs()
+    rng = jax.random.PRNGKey(0)
+    st = reset_fn(x0, rng, x0)
+    sol = jax.jit(mpc_fn)(x0, rng, st, jnp.float32(0.0), x0)
+    assert np.isfinite(np.asarray(sol.u_opt)).all()
+    assert np.isfinite(float(sol.opt_state.opt_cost))
