@@ -59,10 +59,17 @@ def main():
     st = reset_b(xs, rngs, xs)
     sol = mpc_b(xs, rngs, st, ts, xs)
     sol = mpc_b(xs, sol.rng, sol.opt_state, ts, xs)  # one warm-started step too
+    # Fail LOUDLY here if any solve degenerated (observed once under heavy
+    # host contention: gathered rows equal to the unsolved hover warm start
+    # — far easier to diagnose as a worker assert than as a tolerance
+    # mismatch in the parent's comparison).
+    steps = np.asarray(gather_to_host(sol.opt_state.num_steps))
+    assert (steps > 0).all(), f"degenerate solves: num_steps={steps}"
     u = gather_to_host(sol.u_opt)
     if pid == 0:
         np.save(out_npy, u)
-    print(f"worker {pid}: ok devices={jax.device_count()}", flush=True)
+    print(f"worker {pid}: ok devices={jax.device_count()} "
+          f"steps={steps.tolist()}", flush=True)
 
 
 if __name__ == "__main__":
