@@ -94,6 +94,8 @@ def main():
         ("antithetic", {"antithetic": True}),
         ("state-noise", {"initial_state_std": [0.15] * 3 + [0.1] * 3
                          + [0.0] * 4 + [0.05] * 3}),
+        ("risk-averse", {"cost_params": dict(cfg["cost_params"],
+                                             risk_lambda=2.0)}),
     ):
         c = dict(cfg)
         c.update(extra)
