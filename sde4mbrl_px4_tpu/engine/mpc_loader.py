@@ -247,12 +247,24 @@ def make_mpc_from_config(
     if solver_kind not in ("apg", "mppi"):
         raise ValueError(f"unknown solver {solver_kind!r} (apg|mppi)")
     mppi_cfg = MPPIConfig.from_config(cfg)
-    if solver_kind == "mppi":
+    if solver_kind == "mppi" and (num_particles > 1
+                                  or mppi_cfg.samples > 128):
+        # The fused batch oracle holds all K candidate rollouts in VMEM —
+        # same budget analysis as the particle axis (K<=128); K x P paths
+        # or large K route through XLA's (batch, feat) matmul regime.
+        # Measured: K=64 via the kernel oracle is 2.2 ms/solve with
+        # closed-loop quality equal to K=256 XLA (3.4 ms).
         use_pallas = False
-    # Whole-solve mega-kernel (opt-out via SDE4MBRL_MEGA=0).
-    use_mega = bool(use_pallas) and os.environ.get("SDE4MBRL_MEGA", "1") not in (
-        "0", "false", "False"
-    )
+    # Whole-solve mega-kernel (opt-out via SDE4MBRL_MEGA=0) — APG only;
+    # MPPI uses the kernel BATCH oracle instead (value_batch over its K
+    # candidates).
+    use_mega = (bool(use_pallas) and solver_kind == "apg"
+                and os.environ.get("SDE4MBRL_MEGA", "1") not in (
+                    "0", "false", "False"))
+    # Fused-oracle batch width: APG evaluates maxls linesearch candidates,
+    # MPPI its K samples.
+    oracle_batch = (int(mppi_cfg.samples) if solver_kind == "mppi"
+                    else None)  # None -> apg_cfg.maxls at the call sites
 
     warm_shift = str(cfg.get("warm_shift", "repeat"))
     # Antithetic Monte-Carlo particles (opt-in ``antithetic: true``): paired
@@ -412,8 +424,8 @@ def make_mpc_from_config(
                 )
             seq_cost = pallas_cost_oracle(
                 model, params, cost_params, time_steps, x, x_ref, u_prev,
-                noise_p, P, apg_cfg.maxls, interpret=pallas_interpret,
-                chunk=pallas_chunk,
+                noise_p, P, oracle_batch or apg_cfg.maxls,
+                interpret=pallas_interpret, chunk=pallas_chunk,
             )
         elif num_particles <= 1:
             # Mean-dynamics flight configuration (``num_particles: 1``,

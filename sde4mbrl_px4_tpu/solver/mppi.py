@@ -21,7 +21,8 @@ MPC YAML:
 
     solver: mppi
     mppi:
-      samples: 256        # K perturbed sequences per iteration
+      samples: 64         # K perturbed sequences per round (<=128 -> the
+                          # fused kernel batch oracle evaluates all K on-chip)
       sigma: 0.02         # exploration std (fraction of the input range)
       temperature: 0.1    # lambda, relative to the round's cost spread
       iters: 8            # re-centered sampling rounds per solve
@@ -58,7 +59,7 @@ class MPPIConfig(NamedTuple):
     sequences, standard MPPI practice for physical systems).
     """
 
-    samples: int = 256
+    samples: int = 64    # <=128 rides the fused kernel batch oracle on TPU
     sigma: float = 0.02
     temperature: float = 0.1
     iters: int = 8
@@ -75,7 +76,7 @@ class MPPIConfig(NamedTuple):
             warnings.warn(f"mppi block: unknown key(s) {unknown} will be "
                           "ignored (typo?)", stacklevel=2)
         return MPPIConfig(
-            samples=int(m.get("samples", 256)),
+            samples=int(m.get("samples", 64)),
             sigma=float(m.get("sigma", 0.02)),
             temperature=float(m.get("temperature", 0.1)),
             iters=int(m.get("iters", 8)),
