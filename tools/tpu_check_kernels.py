@@ -98,6 +98,18 @@ def main():
         print(f"{label}: compile+warm {time.time()-t0:.0f}s, "
               f"{dt_s*1e3:.2f} ms/solve, "
               f"steps={float(sol.opt_state.num_steps):.0f}", flush=True)
+
+    # 6) MPPI via the fused kernel batch oracle (K=64 default)
+    t0 = time.time()
+    cfg = load_yaml_config(os.path.join(HERE, "configs", "iris_posctrl_mpc.yaml"))
+    cfg["solver"] = "mppi"
+    _, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(dict(cfg), use_pallas=True)
+    x0 = hover_state()
+    st = reset_fn(x0, rng, x0)
+    jm = jax.jit(mpc_fn)
+    dt_s, sol = timeit(jm, x0, rng, st, jnp.float32(0.0), x0, n=5)
+    print(f"MPPI K=64 oracle: compile+warm {time.time()-t0:.0f}s, "
+          f"{dt_s*1e3:.2f} ms/solve", flush=True)
     print("OK", flush=True)
 
 
