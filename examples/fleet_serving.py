@@ -36,6 +36,8 @@ def main():
                     help="per-solve APG iteration budget (the shipped posctrl"
                          " config's max_iter; 50 under-converges the 2 m"
                          " engagement transient and limit-cycles)")
+    ap.add_argument("--solver", default="apg", choices=("apg", "mppi"),
+                    help="per-vehicle solver family (mppi = sampling twin)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -59,6 +61,8 @@ def main():
 
     cfg = load_yaml_config(os.path.join(here, "configs/iris_posctrl_mpc.yaml"))
     cfg["apg_mpc"]["max_iter"] = args.iters
+    if args.solver == "mppi":
+        cfg["solver"] = "mppi"
     mesh = make_mesh((len(jax.devices()), 1))
     print(f"devices: {jax.devices()}  fleet size: {B}", flush=True)
     t0 = time.time()
