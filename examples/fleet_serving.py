@@ -63,6 +63,10 @@ def main():
     cfg["apg_mpc"]["max_iter"] = args.iters
     if args.solver == "mppi":
         cfg["solver"] = "mppi"
+        # --iters maps onto the sampling budget here (re-centered rounds);
+        # apg_mpc.max_iter is not read by the MPPI solver.
+        if args.iters != 100:
+            cfg["mppi"] = {"iters": args.iters}
     mesh = make_mesh((len(jax.devices()), 1))
     print(f"devices: {jax.devices()}  fleet size: {B}", flush=True)
     t0 = time.time()

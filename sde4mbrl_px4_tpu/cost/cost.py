@@ -203,16 +203,27 @@ def make_cost_fn(cp: CostParams, time_steps: jax.Array):
             under = jnp.maximum(cp.state_lo13 - xs, 0.0) * cp.state_inv_scale13
             viol = jnp.sum(cp.state_pen13 * (over * over + under * under), -1)
             track = track + cp.constr_pen * viol
+        # Per-particle discounted uncertainty penalty (res_mult), computed
+        # up front so the risk spread below prices diffusion-carried
+        # outcome spread too, not just tracking spread.
+        res_p = None
+        if sigma_paths is not None:
+            if sigma_paths.ndim == 2:
+                sigma_paths = sigma_paths[None]
+            res_p = cp.res_mult * jnp.sum(
+                disc * jnp.sum(sigma_paths * sigma_paths, -1), axis=-1)  # (P,)
+
         # Risk reduction across particles (SURVEY.md §7 L3): mean, plus an
-        # optional lambda * std term on the per-particle discounted totals.
-        # When the particle axis is sharded, XLA lowers both moments to
-        # psum over the mesh.
+        # optional lambda * std term on the per-particle discounted totals
+        # (tracking + constraints + uncertainty penalty). When the particle
+        # axis is sharded, XLA lowers both moments to psum over the mesh.
         tr_p = jnp.sum(disc * track, axis=-1)          # (P,)
         j_track = jnp.mean(tr_p)
         if cp.risk_lambda is not None and tr_p.shape[0] > 1:
+            tot_p = tr_p if res_p is None else tr_p + res_p
             # sqrt(var + eps): keeps the gradient finite when all particle
             # costs coincide (e.g. near-zero diffusion).
-            var = jnp.mean((tr_p - j_track) ** 2)
+            var = jnp.mean((tot_p - jnp.mean(tot_p)) ** 2)
             j_track = j_track + cp.risk_lambda * jnp.sqrt(var + 1e-12)
 
         # Control effort about uref.
@@ -232,14 +243,9 @@ def make_cost_fn(cp: CostParams, time_steps: jax.Array):
             viol = jnp.maximum(rate - hi, 0.0) ** 2 + jnp.maximum(lo - rate, 0.0) ** 2
             j_slew_c = cp.u_slew_constr_coeff * jnp.sum(viol)
 
-        # Uncertainty penalty: discounted mean squared diffusion along paths.
-        j_res = jnp.float32(0.0)
-        if sigma_paths is not None:
-            if sigma_paths.ndim == 2:
-                sigma_paths = sigma_paths[None]
-            j_res = cp.res_mult * jnp.mean(
-                jnp.sum(disc * jnp.sum(sigma_paths * sigma_paths, -1), axis=-1)
-            )
+        # Uncertainty penalty: discounted mean squared diffusion along paths
+        # (particle mean of res_p computed above).
+        j_res = jnp.float32(0.0) if res_p is None else jnp.mean(res_p)
 
         return j_track + j_u + j_slew + j_slew_c + j_res
 

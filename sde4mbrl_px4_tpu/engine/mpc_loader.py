@@ -229,6 +229,12 @@ def make_mpc_from_config(
     pallas_chunk = int(cfg.get("pallas_chunk", 0))
     if use_pallas and num_particles > 128 and not pallas_chunk:
         use_pallas = False
+    if cfg["cost_params"].get("risk_lambda") and num_particles <= 1:
+        raise ValueError(
+            "cost_params.risk_lambda needs num_particles > 1 — with one "
+            "particle there is no outcome spread to price (and silently "
+            "dropping the fused kernels for an inert term would cost ~30x "
+            "latency)")
     if use_pallas and cfg["cost_params"].get("risk_lambda"):
         # The fused kernels reduce particles by MEAN internally; the
         # mean+lambda*std risk reduction lives in the XLA cost assembly.
@@ -239,21 +245,24 @@ def make_mpc_from_config(
         # this (robustness, not flight-latency) mode through XLA.
         use_pallas = False
     # Solver family: the reference's gradient-based APG (default) or the
-    # sampling-based MPPI twin (``solver: mppi``; solver/mppi.py). MPPI's
-    # hot shape is K~512 batched candidate rollouts per round — the
-    # (batch, feat) matmul regime where XLA wins (same routing rationale as
-    # P>128 above), so it bypasses the fused kernels.
+    # sampling-based MPPI twin (``solver: mppi``; solver/mppi.py). At the
+    # K<=128 default MPPI's candidate evaluations run through the FUSED
+    # kernel batch oracle (value_batch; measured 1.0 ms/solve chained at
+    # K=64); K>128 or multi-particle MPPI rides XLA's (batch, feat) matmul
+    # regime instead (same routing rationale as P>128 above).
     solver_kind = str(cfg.get("solver", "apg"))
     if solver_kind not in ("apg", "mppi"):
         raise ValueError(f"unknown solver {solver_kind!r} (apg|mppi)")
     mppi_cfg = MPPIConfig.from_config(cfg)
     if solver_kind == "mppi" and (num_particles > 1
                                   or mppi_cfg.samples > 128):
+        # (routing below; the fused BATCH oracle serves MPPI when its K
+        # candidates fit VMEM, same budget analysis as the particle axis)
         # The fused batch oracle holds all K candidate rollouts in VMEM —
         # same budget analysis as the particle axis (K<=128); K x P paths
         # or large K route through XLA's (batch, feat) matmul regime.
-        # Measured: K=64 via the kernel oracle is 2.2 ms/solve with
-        # closed-loop quality equal to K=256 XLA (3.4 ms).
+        # Measured: K=64 via the kernel oracle is 1.0 ms/solve chained
+        # with closed-loop tracking BETTER than K=256 XLA (3.4 ms).
         use_pallas = False
     # Whole-solve mega-kernel (opt-out via SDE4MBRL_MEGA=0) — APG only;
     # MPPI uses the kernel BATCH oracle instead (value_batch over its K
@@ -261,10 +270,6 @@ def make_mpc_from_config(
     use_mega = (bool(use_pallas) and solver_kind == "apg"
                 and os.environ.get("SDE4MBRL_MEGA", "1") not in (
                     "0", "false", "False"))
-    # Fused-oracle batch width: APG evaluates maxls linesearch candidates,
-    # MPPI its K samples.
-    oracle_batch = (int(mppi_cfg.samples) if solver_kind == "mppi"
-                    else None)  # None -> apg_cfg.maxls at the call sites
 
     warm_shift = str(cfg.get("warm_shift", "repeat"))
     # Antithetic Monte-Carlo particles (opt-in ``antithetic: true``): paired
@@ -424,7 +429,7 @@ def make_mpc_from_config(
                 )
             seq_cost = pallas_cost_oracle(
                 model, params, cost_params, time_steps, x, x_ref, u_prev,
-                noise_p, P, oracle_batch or apg_cfg.maxls,
+                noise_p, P, apg_cfg.maxls,
                 interpret=pallas_interpret, chunk=pallas_chunk,
             )
         elif num_particles <= 1:

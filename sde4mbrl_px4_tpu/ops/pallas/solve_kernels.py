@@ -201,6 +201,11 @@ def pallas_cost_oracle(
 ) -> CostOracle:
     """Build a fused-kernel :class:`CostOracle` for one solve.
 
+    ``maxls`` is UNUSED: ``value_batch`` sizes itself from its input's
+    leading K dimension at trace time (that's how the same oracle serves
+    both APG's maxls linesearch candidates and MPPI's K samples); the
+    parameter is kept for call-site stability.
+
     Arguments may be traced (built inside the jitted ``mpc_fn``); shapes are
     static. ``noise`` is (P, H, 13); pass zeros for mean dynamics (or set
     ``deterministic=True`` to elide the Brownian term entirely). ``chunk``
