@@ -102,3 +102,28 @@ def test_mppi_composes_with_batched_mesh(repo_root):
     # per-row rng streams: different scenarios explore differently
     u = np.asarray(sol.u_opt)
     assert not np.allclose(u[0], u[1])
+
+
+def test_mppi_with_proximal_slack_config(repo_root):
+    """solver: mppi on a slack_proximal config: the sampled decision
+    sequence includes the slack-target columns, candidates project into the
+    joint box, and the solve stays finite."""
+    from sde4mbrl_px4_tpu.core.types import hover_state
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+    from sde4mbrl_px4_tpu.io.config import load_yaml_config
+
+    cfg = load_yaml_config(
+        os.path.join(repo_root, "configs/iris_constr_posctrl_mpc.yaml"))
+    assert cfg["state_constr"].get("slack_proximal")
+    cfg["solver"] = "mppi"
+    cfg["mppi"] = {"samples": 48, "iters": 4}
+    cfg["horizon"] = 5
+    cfg["num_short_dt"] = 5
+    cfg, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(cfg)
+    x0 = hover_state()
+    rng = jax.random.PRNGKey(0)
+    st = reset_fn(x0, rng, x0)
+    sol = jax.jit(mpc_fn)(x0, rng, st, jnp.float32(0.0), x0)
+    assert sol.u_opt.shape == (5, 4)          # slack columns split off
+    assert np.isfinite(np.asarray(sol.u_opt)).all()
+    assert np.isfinite(float(sol.opt_state.opt_cost))
