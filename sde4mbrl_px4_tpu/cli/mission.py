@@ -114,6 +114,9 @@ class SimVehicle(VehicleBase):
     def push_setpoint(self, pos: np.ndarray, yaw: float) -> None:
         self._setpoint = np.asarray(pos, np.float64)
         self._setpoint_yaw = float(yaw)
+        # A fresh offboard setpoint supersedes any failsafe position hold
+        # (PX4 semantics: new setpoints take over from the hold).
+        self._failsafe_target = None
 
     def set_param(self, name: str, value) -> bool:
         self.fcu.params[str(name)] = value
@@ -153,11 +156,24 @@ class SimVehicle(VehicleBase):
         # never hand authority to a freshly-engaged MPC command stream.
         u_mpc = self.fcu._effective_u()
         if self.fcu.status == self.fcu.MPC_ON:
+            self._was_mpc = True
             self.fcu.plant.step(u_mpc, dt)
             return
         # PX4-side position control stand-in: geometric controller -> rate
         # loop -> motors.
-        target = self._setpoint.copy()
+        #
+        # Failsafe semantics on an MPC dropout (watchdog timeout / OFF
+        # after being ON): hold the CURRENT position — PX4's position-hold
+        # failsafe — NOT the last mission setpoint. Yanking back toward a
+        # stale setpoint makes brief watchdog flaps alternate two
+        # controllers with different targets, which pumps the attitude
+        # loop until it diverges (observed in the full-stack soak).
+        if getattr(self, "_was_mpc", False):
+            self._was_mpc = False
+            self._failsafe_target = self.position()
+        target = (self._failsafe_target.copy()
+                  if getattr(self, "_failsafe_target", None) is not None
+                  else self._setpoint.copy())
         if self._mode == "AUTO.LAND":
             target = self.position()
             target[2] = 0.0  # descend in place

@@ -84,6 +84,15 @@ class FCUSimNode:
                 sleep = wall0 + (k + 1) * dt - time.time()
                 if sleep > 0:
                     time.sleep(sleep)
+                elif sleep < -0.25:
+                    # Fell >250 ms behind wall time (host stall): RE-ANCHOR
+                    # instead of replaying the missed periods. A catch-up
+                    # burst fast-forwards the plant several plant-seconds in
+                    # milliseconds while HOLDING one command open-loop — a
+                    # non-physical teleport that reads as divergence (a real
+                    # FCU never fast-forwards). Dropped periods are the
+                    # honest behavior.
+                    wall0 = time.time() - (k + 1) * dt
             self._step(dt)
             k += 1
             self.ticks = k
