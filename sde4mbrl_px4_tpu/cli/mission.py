@@ -91,6 +91,8 @@ class SimVehicle(VehicleBase):
         self._mode = "POSCTL"
         self._setpoint = np.zeros(3)
         self._setpoint_yaw = 0.0
+        self._was_mpc = False            # MPC held authority last tick
+        self._failsafe_target = None     # position hold after an MPC dropout
         # Thrust map calibrated to the sim airframe: hover command
         # (hover_u) at a_des = g  =>  norm_thrust_const = hover_u / g.
         # Gentler position gains than the reference defaults: the sim's
@@ -168,11 +170,11 @@ class SimVehicle(VehicleBase):
         # stale setpoint makes brief watchdog flaps alternate two
         # controllers with different targets, which pumps the attitude
         # loop until it diverges (observed in the full-stack soak).
-        if getattr(self, "_was_mpc", False):
+        if self._was_mpc:
             self._was_mpc = False
             self._failsafe_target = self.position()
         target = (self._failsafe_target.copy()
-                  if getattr(self, "_failsafe_target", None) is not None
+                  if self._failsafe_target is not None
                   else self._setpoint.copy())
         if self._mode == "AUTO.LAND":
             target = self.position()
