@@ -33,6 +33,7 @@ import numpy as np
 
 from sde4mbrl_px4_tpu.core.types import (
     CONTROL_STATES,
+    CONTROL_STATE_NAMES,
     CTRL_INACTIVE,
     CTRL_POSE_ACTIVE,
     CTRL_TEST,
@@ -350,8 +351,7 @@ class RecedingHorizonController:
         Warm-start/rng state advances here, so chained dispatches form the
         same solve sequence as blocking calls."""
         x = jnp.asarray(x, jnp.float32)
-        names = {v: k for k, v in CONTROL_STATES.items()}
-        mode = names.get(int(control_state), "none")
+        mode = CONTROL_STATE_NAMES.get(int(control_state), "none")
         t0 = time.perf_counter()
 
         if self._curr_ctrl is None or (self._curr_ctrl == "none" and mode != "none"):
@@ -465,8 +465,7 @@ class RecedingHorizonController:
             grad_norm=float(grad_sqr), cost_init=float(c0), opt_cost=float(cT),
             num_steps=int(num_steps), solve_time=solve_time,
             callback_dt=0.0, state_dt=0.0,
-            ctrl_state={v: k for k, v in CONTROL_STATES.items()}.get(
-                int(control_state), "none"),
+            ctrl_state=CONTROL_STATE_NAMES.get(int(control_state), "none"),
             mpc_indx=0,
         )
         return self.last_record

@@ -131,6 +131,8 @@ def make_mpc_from_config(
     convert_to_enu: bool = True,
     particle_sharding=None,
     use_pallas: Optional[bool] = None,
+    mppi_params: Optional[MPPIConfig] = None,
+    state_from_traj: Optional[Callable] = None,
 ) -> Tuple[Dict[str, Any], Tuple[Callable, Callable], Optional[Callable], MPCBundle]:
     """Core factory; ``cfg`` is an already-parsed config mapping.
 
@@ -182,11 +184,16 @@ def make_mpc_from_config(
     # straight into the position solver as a target
     # (``sde_control.py:206,405``). The NED conversion for the solver's
     # internal reference happens in ``_build_ref``.
-    state_from_traj = None
-    traj_path = cfg.get("trajectory_path")
-    if traj_path:
-        table = load_trajectory_csv(traj_path, convert_to_ned=False)
-        state_from_traj = make_state_from_traj(table)
+    # ``state_from_traj`` may be passed in pre-built (same ENU convention):
+    # CSV parsing is host-side numpy, so a caller constructing these
+    # closures INSIDE a traced context (the tuner's vmapped candidate
+    # sweep, ``tuning/tuner.py``) loads the table once outside and hands
+    # the sampler in.
+    if state_from_traj is None:
+        traj_path = cfg.get("trajectory_path")
+        if traj_path:
+            table = load_trajectory_csv(traj_path, convert_to_ned=False)
+            state_from_traj = make_state_from_traj(table)
 
     bundle = MPCBundle(
         model=model,
@@ -253,7 +260,13 @@ def make_mpc_from_config(
     solver_kind = str(cfg.get("solver", "apg"))
     if solver_kind not in ("apg", "mppi"):
         raise ValueError(f"unknown solver {solver_kind!r} (apg|mppi)")
-    mppi_cfg = MPPIConfig.from_config(cfg)
+    # ``mppi_params`` overrides the config-file block; its CONTINUOUS knobs
+    # (sigma/temperature/noise_beta) may be jax tracers — the hook the
+    # hyper-parameter tuner (tuning/tuner.py) uses to sweep a grid of
+    # candidate controllers inside one vmapped program. samples/iters stay
+    # static (they size the compiled loops).
+    mppi_cfg = (MPPIConfig.from_config(cfg) if mppi_params is None
+                else mppi_params)
     if solver_kind == "mppi" and (num_particles > 1
                                   or mppi_cfg.samples > 128):
         # (routing below; the fused BATCH oracle serves MPPI when its K

@@ -38,7 +38,7 @@ import numpy as np
 
 _LOG = logging.getLogger("sde4mbrl_px4_tpu.engine")
 
-from sde4mbrl_px4_tpu.core.types import CONTROL_STATES
+from sde4mbrl_px4_tpu.core.types import CONTROL_STATES, CONTROL_STATE_NAMES
 from sde4mbrl_px4_tpu.engine.controller import OverrunMeter, RecedingHorizonController
 from sde4mbrl_px4_tpu.engine.telemetry import OptMPCStateRecord
 from sde4mbrl_px4_tpu.io.mailbox import Mailbox, native_available
@@ -196,7 +196,7 @@ class SDEControlNode:
             grad_norm=out[5], avg_stepsize=out[6], cost_init=out[7],
             opt_cost=out[8], solve_time=out[1],
             callback_dt=self.dt_state_callback, state_dt=self.dt_state_info,
-            ctrl_state={v: k for k, v in CONTROL_STATES.items()}[control_state],
+            ctrl_state=CONTROL_STATE_NAMES[control_state],
             mpc_indx=idx,
         )
 

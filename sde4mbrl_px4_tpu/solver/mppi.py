@@ -48,7 +48,12 @@ __all__ = ["MPPIConfig", "mppi_solve"]
 
 
 class MPPIConfig(NamedTuple):
-    """Static MPPI configuration (hashable; safe as a jit static arg).
+    """MPPI configuration. ``samples``/``iters`` are STATIC (they size the
+    compiled program); the continuous knobs ``sigma``/``temperature``/
+    ``noise_beta`` may be plain floats (hashable config — safe as a jit
+    static arg) OR jax scalars/tracers, which is what lets
+    ``tuning/tuner.py`` sweep a whole candidate grid of controllers inside
+    one vmapped program.
 
     ``sigma`` is relative to the input-box width (scale-free);
     ``temperature`` is relative to the candidate-cost spread above the
@@ -125,7 +130,10 @@ def mppi_solve(
         u_mean, rng = carry
         rng, sub, sub0 = jax.random.split(rng, 3)
         eps = jax.random.normal(sub, (K,) + u_mean.shape, dtype=u_mean.dtype)
-        if cfg.noise_beta > 0.0:
+        # Static beta == 0.0 skips the AR(1) scan entirely; a TRACED beta
+        # always takes it (at beta=0 the chain reduces to the raw noise:
+        # c_t = 0*c_{t-1} + 1*e_t), so sweeping beta dynamically is exact.
+        if not isinstance(cfg.noise_beta, (int, float)) or cfg.noise_beta > 0.0:
             c0 = jax.random.normal(sub0, eps[:, 0].shape, dtype=eps.dtype)
             eps = _smooth(eps, c0)
         eps = sigma * eps
