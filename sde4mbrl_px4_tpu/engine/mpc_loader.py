@@ -133,6 +133,7 @@ def make_mpc_from_config(
     use_pallas: Optional[bool] = None,
     mppi_params: Optional[MPPIConfig] = None,
     state_from_traj: Optional[Callable] = None,
+    cost_params_override: Optional[CostParams] = None,
 ) -> Tuple[Dict[str, Any], Tuple[Callable, Callable], Optional[Callable], MPCBundle]:
     """Core factory; ``cfg`` is an already-parsed config mapping.
 
@@ -160,7 +161,13 @@ def make_mpc_from_config(
 
     lb_np, ub_np = input_bounds_from_config(cfg)
     lb, ub = jnp.asarray(lb_np), jnp.asarray(ub_np)
-    cost_params = CostParams.from_config(cfg, n_u)
+    # ``cost_params_override``: the tuner's hook (tuning/tuner.py) — a
+    # CostParams whose ARRAY fields may be jax tracers (shapes must match
+    # what ``from_config`` builds; dict-level routing keys like
+    # ``risk_lambda`` are still read from ``cfg``), so a grid of candidate
+    # weight settings sweeps inside one vmapped program.
+    cost_params = (CostParams.from_config(cfg, n_u)
+                   if cost_params_override is None else cost_params_override)
     apg_cfg = APGConfig.from_config(cfg)
     num_particles = int(cfg.get("num_particles", 1))
 

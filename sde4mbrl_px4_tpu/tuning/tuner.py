@@ -27,7 +27,8 @@ from typing import Any, Dict, NamedTuple, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["TuneResult", "make_mppi_grid", "tune_mppi"]
+__all__ = ["TuneResult", "WeightTuneResult", "make_mppi_grid",
+           "make_weight_grid", "tune_mppi", "tune_cost_weights"]
 
 
 class TuneResult(NamedTuple):
@@ -190,4 +191,171 @@ def tune_mppi(
         for i in range(N)
     ]
     results.sort(key=lambda r: r.mean_pos_err)
+    return results
+
+
+class WeightTuneResult(NamedTuple):
+    """One scored cost-weight candidate: scale factors on the config's
+    ``perr``/``verr``/``qerr``/``werr`` tracking weights."""
+
+    p_scale: float
+    v_scale: float
+    q_scale: float
+    w_scale: float
+    score: float             # mean pos err + effort_weight * control effort
+    mean_pos_err: float      # [m] over the closed loop (stochastic plant)
+    effort: float            # mean ||u - uref||^2 per step
+
+    def yaml_block(self, base_cost_params: Dict[str, Any]) -> str:
+        """The updated ``cost_params:`` tracking-weight lines."""
+        def scaled(key, s):
+            v = np.atleast_1d(np.asarray(
+                base_cost_params.get(key, 0.0), np.float64)) * s
+            return "[" + ", ".join(f"{x:.6g}" for x in v) + "]"
+
+        return ("cost_params:\n"
+                f"  perr: {scaled('perr', self.p_scale)}\n"
+                f"  verr: {scaled('verr', self.v_scale)}\n"
+                f"  qerr: {scaled('qerr', self.q_scale)}\n"
+                f"  werr: {scaled('werr', self.w_scale)}\n")
+
+
+def make_weight_grid(
+    p_scales: Sequence[float],
+    v_scales: Sequence[float],
+    q_scales: Sequence[float],
+    w_scales: Sequence[float],
+) -> np.ndarray:
+    """Cartesian product -> (N, 4) float32 candidate rows."""
+    g = np.meshgrid(np.asarray(p_scales, np.float32),
+                    np.asarray(v_scales, np.float32),
+                    np.asarray(q_scales, np.float32),
+                    np.asarray(w_scales, np.float32), indexing="ij")
+    return np.stack([a.reshape(-1) for a in g], axis=-1)
+
+
+def tune_cost_weights(
+    cfg: Dict[str, Any],
+    grid: np.ndarray,
+    steps: int = 40,
+    seed: int = 0,
+    crn: bool = True,
+    mesh=None,
+    convert_to_enu: bool = True,
+    noisy_plant: bool = True,
+    effort_weight: float = 0.0,
+) -> list:
+    """Score a grid of tracking-weight candidates — (p, v, q, w) scale
+    factors on the config's ``perr``/``verr``/``qerr``/``werr`` — by
+    closed-loop performance with the CONFIGURED solver (APG by default;
+    the reference's 6 YAML variants differ in exactly these hand-tuned
+    weights, e.g. ``iris_sitl_traj_mpc.yaml:32-41`` vs the hexa pairs).
+
+    The plant takes ONE stochastic Euler-Maruyama draw per control period
+    (``noisy_plant=True``; ``ops/rollout.em_step``) while the solver plans
+    on the mean dynamics — scoring against the solver's own deterministic
+    prediction would reward arbitrarily aggressive weights, since the
+    surrogate has no model mismatch to punish them. Common random numbers
+    give every candidate the same disturbance realization.
+
+    ``effort_weight`` adds ``mean ||u - uref||^2`` to the score: tracking
+    alone is insensitive to over-actuation; a small effort term (e.g.
+    0.1) surfaces candidates that track equally well with less control
+    authority. Returns ``WeightTuneResult`` rows sorted by score.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sde4mbrl_px4_tpu.core.frames import enu2ned
+    from sde4mbrl_px4_tpu.core.types import hover_state
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+    from sde4mbrl_px4_tpu.ops.rollout import em_step
+
+    grid = np.asarray(grid, np.float32)
+    if grid.ndim != 2 or grid.shape[1] != 4:
+        raise ValueError(f"grid must be (N, 4) [p, v, q, w scale]; got "
+                         f"{grid.shape}")
+    N = int(grid.shape[0])
+
+    base = dict(cfg)
+    has_traj = bool(base.get("trajectory_path"))
+    cfg_probe, _, state_from_traj, bundle = make_mpc_from_config(
+        dict(base), convert_to_enu=convert_to_enu, use_pallas=False)
+    dt = float(cfg_probe["_time_steps"][0])
+    base_cp = bundle.cost_params
+    model, params = bundle.model, bundle.params
+
+    if has_traj:
+        t0 = 0.0
+        x0 = enu2ned(state_from_traj(t0)) if convert_to_enu \
+            else state_from_traj(t0)
+        x0 = jnp.asarray(x0, jnp.float32)
+        xdes = x0
+    else:
+        t0 = 0.0
+        x0 = jnp.asarray(hover_state()).at[0].set(1.0)
+        xdes = jnp.asarray(hover_state())
+    tgt_ned = (enu2ned(xdes) if (convert_to_enu and not has_traj) else xdes)
+
+    def score(hp: jax.Array, rng: jax.Array) -> jax.Array:
+        cp = base_cp._replace(
+            perr=base_cp.perr * hp[0], verr=base_cp.verr * hp[1],
+            qerr=base_cp.qerr * hp[2], werr=base_cp.werr * hp[3])
+        _, (reset_fn, mpc_fn), sft, _ = make_mpc_from_config(
+            dict(base), convert_to_enu=convert_to_enu, use_pallas=False,
+            cost_params_override=cp, state_from_traj=state_from_traj)
+        rng_solver, rng_plant = jax.random.split(rng)
+        st = reset_fn(x0, rng_solver, x0)
+
+        def body(carry, k):
+            x, rng_s, st, rng_p = carry
+            t = jnp.float32(t0) + k * dt
+            u, st, rng_s, _ = mpc_fn(x, rng_s, st, t, xdes)
+            rng_p, sub = jax.random.split(rng_p)
+            noise = (jax.random.normal(sub, (13,)) if noisy_plant else None)
+            x1 = em_step(model, params, x, u[0], jnp.float32(dt), noise)
+            if has_traj:
+                ref = sft(t + dt)
+                ref = enu2ned(ref) if convert_to_enu else ref
+            else:
+                ref = tgt_ned
+            err = jnp.linalg.norm(x1[:3] - ref[:3])
+            eff = jnp.sum((u[0] - base_cp.uref) ** 2)
+            return (x1, rng_s, st, rng_p), (err, eff)
+
+        (_, _, _, _), (errs, effs) = jax.lax.scan(
+            body, (x0, rng_solver, st, rng_plant),
+            jnp.arange(steps, dtype=jnp.float32))
+        mean_err, mean_eff = jnp.mean(errs), jnp.mean(effs)
+        return jnp.stack(
+            [mean_err + jnp.float32(effort_weight) * mean_eff,
+             mean_err, mean_eff])
+
+    key = jax.random.PRNGKey(seed)
+    rngs = (jnp.broadcast_to(key, (N, 2)) if crn
+            else jax.random.split(key, N))
+
+    hp = jnp.asarray(grid)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = int(mesh.shape["dp"])
+        pad = (-N) % dp
+        if pad:
+            hp = jnp.concatenate([hp, jnp.broadcast_to(hp[:1], (pad, 4))], 0)
+            rngs = jnp.concatenate(
+                [rngs, jnp.broadcast_to(rngs[:1], (pad, 2))], 0)
+        hp = jax.device_put(hp, NamedSharding(mesh, P("dp", None)))
+        rngs = jax.device_put(rngs, NamedSharding(mesh, P("dp", None)))
+
+    out = np.asarray(jax.jit(jax.vmap(score))(hp, rngs))[:N]
+
+    results = [
+        WeightTuneResult(p_scale=float(grid[i, 0]), v_scale=float(grid[i, 1]),
+                         q_scale=float(grid[i, 2]), w_scale=float(grid[i, 3]),
+                         score=float(out[i, 0]), mean_pos_err=float(out[i, 1]),
+                         effort=float(out[i, 2]))
+        for i in range(N)
+    ]
+    results.sort(key=lambda r: r.score)
     return results

@@ -130,6 +130,71 @@ def test_trajectory_config_sweep(repo_config):
     assert len(res) == 1 and np.isfinite(res[0].mean_pos_err)
 
 
+def test_weight_grid_shape():
+    from sde4mbrl_px4_tpu.tuning import make_weight_grid
+
+    g = make_weight_grid([0.5, 1.0], [1.0], [1.0, 2.0], [1.0])
+    assert g.shape == (4, 4)
+    assert np.allclose(g[0], [0.5, 1.0, 1.0, 1.0])
+    assert np.allclose(g[-1], [1.0, 1.0, 2.0, 1.0])
+
+
+def test_weight_tuner_grid_validation(repo_config):
+    from sde4mbrl_px4_tpu.tuning import tune_cost_weights
+
+    cfg = _small_cfg(repo_config)
+    cfg.pop("solver")
+    with pytest.raises(ValueError, match="grid must be"):
+        tune_cost_weights(cfg, np.zeros((2, 3)), steps=2)
+
+
+def test_weight_tuner_ranks_position_weight(repo_config):
+    """On a 1 m position step, scaling the position weight up must track
+    better than scaling it down (common random numbers make the comparison
+    deterministic); the effort term is reported."""
+    from sde4mbrl_px4_tpu.tuning import make_weight_grid, tune_cost_weights
+
+    cfg = load_yaml_config(repo_config("iris_posctrl_mpc.yaml"))
+    cfg["horizon"] = 6
+    cfg["num_short_dt"] = 6
+    cfg["apg_mpc"]["max_iter"] = 15
+    grid = make_weight_grid([0.2, 5.0], [1.0], [1.0], [1.0])
+    res = tune_cost_weights(cfg, grid, steps=20, seed=0, effort_weight=0.05)
+    assert res[0].p_scale == pytest.approx(5.0)
+    assert res[0].mean_pos_err < res[1].mean_pos_err
+    assert all(np.isfinite([r.score for r in res]))
+    assert all(r.effort >= 0.0 for r in res)
+
+
+def test_weight_tuner_deterministic_plant(repo_config):
+    """noisy_plant=False scores against the mean dynamics (and two runs of
+    it agree exactly)."""
+    from sde4mbrl_px4_tpu.tuning import tune_cost_weights
+
+    cfg = load_yaml_config(repo_config("iris_posctrl_mpc.yaml"))
+    cfg["horizon"] = 6
+    cfg["num_short_dt"] = 6
+    cfg["apg_mpc"]["max_iter"] = 10
+    grid = np.asarray([[1.0, 1.0, 1.0, 1.0]], np.float32)
+    a = tune_cost_weights(dict(cfg), grid, steps=4, noisy_plant=False)[0]
+    b = tune_cost_weights(dict(cfg), grid, steps=4, noisy_plant=False)[0]
+    assert a.mean_pos_err == b.mean_pos_err
+
+
+def test_weight_yaml_block():
+    from sde4mbrl_px4_tpu.tuning import WeightTuneResult
+
+    r = WeightTuneResult(p_scale=2.0, v_scale=1.0, q_scale=0.5, w_scale=1.0,
+                         score=0.1, mean_pos_err=0.1, effort=0.01)
+    import yaml
+
+    block = yaml.safe_load(r.yaml_block(
+        {"perr": [10, 10, 20], "verr": 1.0, "qerr": [2, 2, 2],
+         "werr": [1, 1, 1]}))
+    assert block["cost_params"]["perr"] == [20, 20, 40]
+    assert block["cost_params"]["qerr"] == [1, 1, 1]
+
+
 def test_yaml_block_roundtrip():
     r = TuneResult(sigma=0.02, temperature=0.1, noise_beta=0.7,
                    mean_pos_err=0.1, final_pos_err=0.05)
