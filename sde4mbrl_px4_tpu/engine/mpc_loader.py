@@ -42,6 +42,9 @@ reference-parity behavior):
   mean + lambda*std (SURVEY.md §7 L3); 0/absent = risk-neutral parity;
 - ``solver: mppi`` + ``mppi:`` block — sampling-based MPPI solver family
   (solver/mppi.py) instead of the reference's gradient APG;
+- ``solver: policy`` + ``policy: {params_path, hidden}`` — amortized
+  one-shot plan network distilled from converged APG solves
+  (models/policy.py + learning/distill.py);
 - ``pallas_chunk: N`` — force the in-kernel chunked particle path;
 - env ``SDE4MBRL_PALLAS=0/1`` / ``SDE4MBRL_MEGA=0`` (or the
   ``make_mpc_from_config(use_pallas=...)`` argument) — kernel routing
@@ -265,8 +268,8 @@ def make_mpc_from_config(
     # K=64); K>128 or multi-particle MPPI rides XLA's (batch, feat) matmul
     # regime instead (same routing rationale as P>128 above).
     solver_kind = str(cfg.get("solver", "apg"))
-    if solver_kind not in ("apg", "mppi"):
-        raise ValueError(f"unknown solver {solver_kind!r} (apg|mppi)")
+    if solver_kind not in ("apg", "mppi", "policy"):
+        raise ValueError(f"unknown solver {solver_kind!r} (apg|mppi|policy)")
     # ``mppi_params`` overrides the config-file block; its CONTINUOUS knobs
     # (sigma/temperature/noise_beta) may be jax tracers — the hook the
     # hyper-parameter tuner (tuning/tuner.py) uses to sweep a grid of
@@ -274,6 +277,45 @@ def make_mpc_from_config(
     # static (they size the compiled loops).
     mppi_cfg = (MPPIConfig.from_config(cfg) if mppi_params is None
                 else mppi_params)
+    # Amortized-policy solver family (``solver: policy`` + ``policy:``
+    # block): the distilled one-shot plan network (models/policy.py,
+    # trained by learning/distill.py). The whole "solve" is three MXU
+    # matmuls + one telemetry rollout, so it routes through the XLA path
+    # unconditionally (a fused serial-loop kernel has nothing to fuse).
+    policy_net = None
+    if solver_kind == "policy":
+        if prox_m:
+            raise ValueError(
+                "solver: policy does not support slack_proximal state "
+                "constraints — the policy head predicts motor plans only "
+                "(distill an expert WITHOUT slack, or keep solver: apg)")
+        from sde4mbrl_px4_tpu.models import policy as _policy_mod
+
+        pol_block = cfg.get("policy") or {}
+        ppath = pol_block.get("params_path")
+        if ppath and os.path.exists(os.path.expanduser(ppath)):
+            policy_net, pmeta = load_params(ppath)
+            policy_net = jax.tree.map(jnp.asarray, policy_net)
+            if pmeta.get("kind") not in (None, _policy_mod.POLICY_KIND):
+                raise ValueError(
+                    f"policy.params_path {ppath!r} is not an MPC policy "
+                    f"checkpoint (meta {pmeta!r})")
+            if (int(policy_net["meta_H"]) != H
+                    or int(policy_net["meta_n_u"]) != n_u):
+                raise ValueError(
+                    f"policy checkpoint horizon/motors ({int(policy_net['meta_H'])},"
+                    f" {int(policy_net['meta_n_u'])}) != config ({H}, {n_u})")
+        else:
+            if ppath:
+                warnings.warn(
+                    f"policy.params_path {ppath!r} not found; initializing "
+                    "an untrained hover policy (train with learning/distill.py)")
+            policy_net = jax.tree.map(jnp.asarray, _policy_mod.init_policy(
+                jax.random.PRNGKey(int(cfg.get("seed", 0))), H, n_u,
+                np.asarray(lb), np.asarray(ub), np.asarray(cost_params.uref),
+                hidden=tuple(pol_block.get("hidden", (256, 256)))))
+        _policy_apply = _policy_mod.policy_apply
+        _policy_featurize = _policy_mod.featurize
     if solver_kind == "mppi" and (num_particles > 1
                                   or mppi_cfg.samples > 128):
         # (routing below; the fused BATCH oracle serves MPPI when its K
@@ -283,6 +325,8 @@ def make_mpc_from_config(
         # or large K route through XLA's (batch, feat) matmul regime.
         # Measured: K=64 via the kernel oracle is 1.0 ms/solve chained
         # with closed-loop tracking BETTER than K=256 XLA (3.4 ms).
+        use_pallas = False
+    if solver_kind == "policy":
         use_pallas = False
     # Whole-solve mega-kernel (opt-out via SDE4MBRL_MEGA=0) — APG only;
     # MPPI uses the kernel BATCH oracle instead (value_batch over its K
@@ -477,7 +521,23 @@ def make_mpc_from_config(
                 return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev[:n_u],
                                s_seq=s_seq)
 
-        if solver_kind == "mppi":
+        if solver_kind == "policy":
+            # One forward pass IS the solve. The cost evaluation below is
+            # telemetry only (init_cost/opt_cost observability fields,
+            # ``msg/OptMPCState.msg:15-22`` semantics) — with no iterations
+            # there is no before/after pair, so both report the plan's cost.
+            u_plan = _policy_apply(
+                policy_net,
+                _policy_featurize(x, x_ref, u_prev[:n_u]),
+                lb, ub)
+            c_plan = seq_cost(u_plan)
+            z = jnp.float32(0.0)
+            st = APGState(
+                yk=u_plan, num_steps=z, stepsize=opt_state.stepsize,
+                avg_stepsize=z, avg_linesearch=z, grad_sqr=z,
+                init_cost=c_plan, opt_cost=c_plan,
+            )
+        elif solver_kind == "mppi":
             st = mppi_solve(seq_cost, opt_state.yk, lb_z, ub_z, mppi_cfg,
                             rng_mppi)
         else:

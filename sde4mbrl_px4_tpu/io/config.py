@@ -34,7 +34,7 @@ _KNOWN_KEYS = set(_DEFAULTS) | {
     "state_constr", "cost_params", "apg_mpc", "seed",
     # framework extensions (engine/mpc_loader.py)
     "antithetic", "initial_state_std", "warm_shift", "matmul_precision",
-    "pallas_chunk", "solver", "mppi",
+    "pallas_chunk", "solver", "mppi", "policy",
 }
 
 

@@ -10,3 +10,10 @@ from sde4mbrl_px4_tpu.learning.evaluate import (  # noqa: F401
     evaluate_model,
     kstep_errors,
 )
+from sde4mbrl_px4_tpu.learning.distill import (  # noqa: F401
+    DistillConfig,
+    distill_policy,
+    load_policy,
+    save_policy,
+    train_policy,
+)

@@ -138,4 +138,7 @@ def make_state_from_traj(table: TrajectoryTable) -> Callable[[jax.Array], jax.Ar
         q = quat.qnormalize(x[..., 6:10])
         return jnp.concatenate([x[..., 0:6], q, x[..., 10:13]], axis=-1)
 
+    # table extent, host-readable (distillation samples t over it,
+    # learning/distill.py; the sampler itself clamps past the end)
+    state_from_traj.t_max = float(tn[-1])
     return state_from_traj
