@@ -116,6 +116,11 @@ def main():
         _bench_mppi(here, _log)
     except Exception as e:  # noqa: BLE001
         _log(f"mppi bench skipped: {e!r}")
+    policy_rate = None
+    try:
+        policy_rate = _bench_policy(here, _log)
+    except Exception as e:  # noqa: BLE001
+        _log(f"policy bench skipped: {e!r}")
 
     headline = chip_rate if chip_rate is not None else solves_per_sec
     out = {
@@ -133,6 +138,8 @@ def main():
         out["tunnel_fetch_floor_ms"] = round(pipe_stats["fetch_floor"] * 1e3, 2)
         out["control_budget_ms"] = 50.0
         out["p99_vs_budget"] = round(pipe_stats["p99"] * 1e3 / 50.0, 3)
+    if policy_rate is not None:
+        out["policy_solves_per_sec"] = round(float(policy_rate), 1)
     if chip_rate is not None:
         gf = _achieved_gflops(cfg, float(sol.opt_state.num_steps), chip_rate)
         out["achieved_gflops"] = round(gf, 1)
@@ -345,6 +352,50 @@ def _bench_mppi(here, _log, K=20):
     per = (time.perf_counter() - t0) / (n * K)
     _log(f"MPPI sampling solver (K=64 kernel batch oracle): {per*1e3:.2f} ms/solve "
          f"({1/per:.0f} solves/s/chip)")
+
+
+def _bench_policy(here, _log, K=50):
+    """Amortized-policy solver (``solver: policy``, models/policy.py): one
+    forward pass per solve. Latency is checkpoint-independent (same matmuls
+    trained or not); tracking quality of a TRAINED policy is validated in
+    examples/policy_distill.py and tests/test_distill.py."""
+    import jax
+    import jax.numpy as jnp
+    from sde4mbrl_px4_tpu.core.types import hover_state
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+    from sde4mbrl_px4_tpu.io.config import load_yaml_config
+
+    cfg = load_yaml_config(os.path.join(here, "configs", "iris_traj_mpc.yaml"))
+    cfg["solver"] = "policy"
+    cfg, (reset_fn, mpc_fn), sft, _ = make_mpc_from_config(cfg)
+    from sde4mbrl_px4_tpu.core.frames import enu2ned
+
+    x0 = enu2ned(sft(0.0))
+    rng = jax.random.PRNGKey(0)
+    st0 = reset_fn(x0, rng, x0)
+    dt = jnp.float32(cfg["_time_steps"][0])
+
+    def chain(x, rng, st):
+        def body(c, k):
+            x, rng, st = c
+            u, st1, rng1, xe = mpc_fn(x, rng, st, k * dt, x)
+            return (xe[1], rng1, st1), 0.0
+        (xf, rngf, stf), _ = jax.lax.scan(
+            body, (x, rng, st), jnp.arange(K, dtype=jnp.float32))
+        return xf, rngf, stf
+
+    jc = jax.jit(chain)
+    xf, rngf, stf = jc(x0, rng, st0)
+    jax.block_until_ready(xf)
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        xf, rngf, stf = jc(xf, rngf, stf)
+    jax.block_until_ready(xf)
+    per = (time.perf_counter() - t0) / (n * K)
+    _log(f"amortized policy solver (one-shot plan net incl. telemetry "
+         f"rollout): {per*1e3:.3f} ms/solve ({1/per:.0f} solves/s/chip)")
+    return 1.0 / per
 
 
 def _bench_batched_throughput(here, _log, B=256):

@@ -35,9 +35,14 @@ def main():
     ap.add_argument("--log", default=None, help="write an .npz flight log")
     ap.add_argument("--no-pipeline", action="store_true",
                     help="blocking solver dispatch (pipeline off)")
-    ap.add_argument("--solver", default="apg", choices=("apg", "mppi"),
-                    help="solver family: the reference's gradient APG or "
-                         "the sampling MPPI twin (solver/mppi.py)")
+    ap.add_argument("--solver", default="apg", choices=("apg", "mppi", "policy"),
+                    help="solver family: the reference's gradient APG, "
+                         "the sampling MPPI twin (solver/mppi.py), or the "
+                         "distilled one-shot policy (models/policy.py; "
+                         "train checkpoints first with policy_distill.py)")
+    ap.add_argument("--policy-dir", default="/tmp/policy_ckpts",
+                    help="where policy_distill.py saved "
+                         "<vehicle>_{traj,posctrl}_policy.pkl")
     ap.add_argument("--vehicle", default="iris", choices=("iris", "hexa"),
                     help="airframe: picks configs/<vehicle>_{traj,posctrl}"
                          "_mpc.yaml and the matching model checkpoint")
@@ -70,7 +75,7 @@ def main():
 
     traj_cfg = os.path.join(here, f"configs/{args.vehicle}_traj_mpc.yaml")
     pos_cfg = os.path.join(here, f"configs/{args.vehicle}_posctrl_mpc.yaml")
-    if args.solver == "mppi":
+    if args.solver != "apg":
         # Inject the solver family into temp copies of the shipped configs;
         # load_yaml_config already resolves the relative asset paths.
         import tempfile
@@ -78,10 +83,19 @@ def main():
 
         from sde4mbrl_px4_tpu.io.config import load_yaml_config
 
-        tmpdir = tempfile.TemporaryDirectory(prefix="mppi_cfg_")
+        tmpdir = tempfile.TemporaryDirectory(prefix=f"{args.solver}_cfg_")
         for src in (traj_cfg, pos_cfg):
             c = load_yaml_config(src)
-            c["solver"] = "mppi"
+            c["solver"] = args.solver
+            if args.solver == "policy":
+                kind = "traj" if src == traj_cfg else "posctrl"
+                ckpt = os.path.join(args.policy_dir,
+                                    f"{args.vehicle}_{kind}_policy.pkl")
+                if not os.path.exists(ckpt):
+                    print(f"missing {ckpt} — run examples/policy_distill.py "
+                          f"first to train the checkpoints", file=sys.stderr)
+                    return 1
+                c["policy"] = {"params_path": ckpt}
             dst = os.path.join(tmpdir.name, os.path.basename(src))
             _yaml.safe_dump({k: v for k, v in c.items()
                              if not k.startswith("_")}, open(dst, "w"))

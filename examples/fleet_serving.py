@@ -36,8 +36,11 @@ def main():
                     help="per-solve APG iteration budget (the shipped posctrl"
                          " config's max_iter; 50 under-converges the 2 m"
                          " engagement transient and limit-cycles)")
-    ap.add_argument("--solver", default="apg", choices=("apg", "mppi"),
-                    help="per-vehicle solver family (mppi = sampling twin)")
+    ap.add_argument("--solver", default="apg", choices=("apg", "mppi", "policy"),
+                    help="per-vehicle solver family (mppi = sampling twin; "
+                         "policy = distilled one-shot network — train with "
+                         "examples/policy_distill.py first)")
+    ap.add_argument("--policy-dir", default="/tmp/policy_ckpts")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -67,6 +70,14 @@ def main():
         # apg_mpc.max_iter is not read by the MPPI solver.
         if args.iters != 100:
             cfg["mppi"] = {"iters": args.iters}
+    elif args.solver == "policy":
+        ckpt = os.path.join(args.policy_dir, "iris_posctrl_policy.pkl")
+        if not os.path.exists(ckpt):
+            print(f"missing {ckpt} — run examples/policy_distill.py first",
+                  file=sys.stderr)
+            return 1
+        cfg["solver"] = "policy"
+        cfg["policy"] = {"params_path": ckpt}
     mesh = make_mesh((len(jax.devices()), 1))
     print(f"devices: {jax.devices()}  fleet size: {B}", flush=True)
     t0 = time.time()

@@ -58,9 +58,15 @@ __all__ = [
 @dataclasses.dataclass(frozen=True)
 class DistillConfig:
     n_states: int = 4096
-    pos_std: float = 0.5          # m, NED
-    vel_std: float = 0.5          # m/s
-    tilt_std: float = 0.15        # rad (roll/pitch perturbation)
+    pos_std: float = 0.5          # m, NED (fine noise around the anchor)
+    target_std: float = 2.0       # m, pos-control start↔target separation:
+                                  # starts and targets are drawn INDEPENDENTLY
+                                  # so the dataset covers the engagement
+                                  # transient (a policy trained only near its
+                                  # target diverges on a 2 m step input —
+                                  # measured on the fleet demo)
+    vel_std: float = 1.0          # m/s (mid-transient speeds, not just hover)
+    tilt_std: float = 0.25        # rad (roll/pitch perturbation)
     yaw_std: float = 0.3          # rad
     rate_std: float = 0.5         # rad/s
     expert_max_iter: int = 300    # labeling budget (> flight budget: labels
@@ -74,7 +80,8 @@ class DistillConfig:
                                   # step 0 is what gets flown; the tail only
                                   # shapes the predicted trajectory
     dagger_rounds: int = 0
-    dagger_steps: int = 200       # closed-loop plant steps per DAgger round
+    dagger_rollouts: int = 32     # parallel policy rollouts per DAgger round
+    dagger_steps: int = 100       # closed-loop plant steps per rollout
     seed: int = 0
 
 
@@ -121,10 +128,23 @@ def sample_states(
         from sde4mbrl_px4_tpu.core.types import hover_state
 
         hov = jnp.asarray(hover_state())
+        k_t, k_s, k_y = jax.random.split(ks[5], 3)
         targets = jnp.tile(hov, (n, 1))
         targets = targets.at[:, 0:3].add(
-            2.0 * jax.random.normal(ks[5], (n, 3), jnp.float32))
-        anchors = targets                                     # NED start anchor
+            dcfg.target_std * jax.random.normal(k_t, (n, 3), jnp.float32))
+        # Target attitude: yaw-only, uniform over the circle. The mission
+        # layer zeroes roll/pitch of target quaternions (reference
+        # ``basic_control.py:545-553``) but the yaw is free — and an
+        # ENU-identity setpoint is a LARGE NED yaw target after frame
+        # conversion, so a policy trained only on identity-NED attitudes
+        # diverges on the first real fleet target (measured).
+        yaws = jax.random.uniform(k_y, (n,), minval=-np.pi, maxval=np.pi)
+        targets = targets.at[:, 6:10].set(jax.vmap(quat.q_from_yaw)(yaws))
+        # starts drawn independently of targets: the relative-position
+        # features must span the full engagement envelope
+        anchors = jnp.tile(hov, (n, 1))
+        anchors = anchors.at[:, 0:3].add(
+            dcfg.target_std * jax.random.normal(k_s, (n, 3), jnp.float32))
         xdes = enu2ned(targets)                               # ENU target (involution)
     # perturb: position / velocity / attitude / rates
     xs = anchors
@@ -310,46 +330,68 @@ def distill_policy(
 
 
 def _dagger_states(cfg, bundle, params, dcfg: DistillConfig, rng: jax.Array):
-    """States the CURRENT policy visits: roll it closed-loop through the SDE
-    plant (``sim/plant.py`` dynamics, here the mean model at the control dt)
-    and harvest the visited states for expert relabeling."""
+    """States the CURRENT policy visits — the DAgger aggregation set.
+
+    ``dagger_rollouts`` independent closed-loop flights (policy in the loop,
+    mean dynamics as the plant, one ``lax.scan`` over the whole batch):
+    trajectory configs stagger start times along the table; pos-control
+    configs draw independent (start, target) pairs so the harvested states
+    cover the engagement transient the policy actually produces — including
+    its own mistakes, which is the point (covariate shift is what made the
+    pre-DAgger fleet demo diverge)."""
     from sde4mbrl_px4_tpu.ops.rollout import rollout_mean
 
     sft = bundle.state_from_traj
     knots = bundle.knot_times
     dt0 = bundle.time_steps[0]
-    H = int(bundle.time_steps.shape[0])
     n_u = bundle.model.n_u
-    u_prev0 = jnp.broadcast_to(bundle.cost_params.uref, (n_u,))
+    B = int(dcfg.dagger_rollouts)
+    T = int(dcfg.dagger_steps)
+    k0, k1 = jax.random.split(rng)
 
     if sft is not None:
-        x0 = enu2ned(sft(0.0))
-        xdes_one = sft(0.0)
+        T_tab = float(getattr(sft, "t_max", 10.0))
+        t0s = jax.random.uniform(k0, (B,), minval=0.0,
+                                 maxval=max(T_tab - T * float(dt0), 1e-3))
+        x0 = enu2ned(sft(t0s))                                 # (B, 13)
+        xdes_b = sft(jnp.zeros((B,), jnp.float32))             # unused in traj mode
     else:
         from sde4mbrl_px4_tpu.core.types import hover_state
 
-        x0 = jnp.asarray(hover_state())
-        xdes_one = enu2ned(x0)
+        hov = jnp.asarray(hover_state())
+        ka, kb, kc = jax.random.split(k1, 3)
+        x0 = jnp.tile(hov, (B, 1)).at[:, 0:3].add(
+            dcfg.target_std * jax.random.normal(ka, (B, 3), jnp.float32))
+        tgt = jnp.tile(hov, (B, 1)).at[:, 0:3].add(
+            dcfg.target_std * jax.random.normal(kb, (B, 3), jnp.float32))
+        yaws = jax.random.uniform(kc, (B,), minval=-np.pi, maxval=np.pi)
+        tgt = tgt.at[:, 6:10].set(jax.vmap(quat.q_from_yaw)(yaws))
+        t0s = jnp.zeros((B,), jnp.float32)
+        xdes_b = enu2ned(tgt)                                  # ENU boundary
 
-    def step(carry, t):
-        x, u_prev = carry
+    u_prev0 = jnp.tile(jnp.asarray(bundle.cost_params.uref), (B, 1))
+
+    def _ref_one(t, xd):
         if sft is not None:
             ref = sft(t + knots)
-            ref = enu2ned(ref) if bundle.convert_to_enu else ref
-        else:
-            tgt = enu2ned(xdes_one) if bundle.convert_to_enu else xdes_one
-            ref = jnp.broadcast_to(tgt, (knots.shape[0], 13))
-        plan = policy_apply(params, featurize(x, ref, u_prev),
-                            bundle.lb, bundle.ub)
-        u0 = plan[0]
-        # advance one control period on the mean dynamics
-        x_next = rollout_mean(bundle.model, bundle.params, x, plan,
-                              bundle.time_steps)[1]
-        return (x_next, u0), (x, t)
+            return enu2ned(ref) if bundle.convert_to_enu else ref
+        tgt1 = enu2ned(xd) if bundle.convert_to_enu else xd
+        return jnp.broadcast_to(tgt1, (knots.shape[0], 13))
 
-    ts_grid = jnp.arange(dcfg.dagger_steps, dtype=jnp.float32) * dt0
-    (_, _), (xs, ts) = jax.lax.scan(step, (x0, u_prev0), ts_grid)
-    xdes = jnp.tile(xdes_one, (dcfg.dagger_steps, 1))
+    def step(carry, _):
+        x, u_prev, t = carry                                   # (B,13),(B,n_u),(B,)
+        ref = jax.vmap(_ref_one)(t, xdes_b)                    # (B,H+1,13)
+        feats = jax.vmap(featurize)(x, ref, u_prev)
+        plan = policy_apply(params, feats, bundle.lb, bundle.ub)  # (B,H,n_u)
+        x_next = jax.vmap(
+            lambda xx, pp: rollout_mean(bundle.model, bundle.params, xx, pp,
+                                        bundle.time_steps)[1])(x, plan)
+        return (x_next, plan[:, 0], t + dt0), (x, t)
+
+    (_, _, _), (xs, ts) = jax.lax.scan(step, (x0, u_prev0, t0s), None, length=T)
+    xs = xs.reshape(B * T, 13)
+    ts = ts.reshape(B * T)
+    xdes = jnp.tile(xdes_b, (T, 1, 1)).reshape(B * T, 13)
     return xs, ts, xdes
 
 

@@ -149,6 +149,28 @@ def test_distillation_learns_expert(small_cfg):
     assert err < err_hover, (err, err_hover)
 
 
+def test_dagger_harvest_covers_engagement(small_cfg):
+    """The DAgger state harvest rolls the policy closed-loop from
+    independent (start, target) pairs — visited states must differ across
+    rollouts and stay finite (the aggregation set the retrain consumes)."""
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+    from sde4mbrl_px4_tpu.learning.distill import DistillConfig, _dagger_states
+
+    cfg = dict(small_cfg)
+    _, _, _, bundle = make_mpc_from_config(dict(cfg))
+    lb, ub = np.asarray(bundle.lb), np.asarray(bundle.ub)
+    p = jax.tree.map(jnp.asarray, init_policy(
+        jax.random.PRNGKey(0), 6, 4, lb, ub,
+        np.asarray(bundle.cost_params.uref), hidden=(32,)))
+    dcfg = DistillConfig(dagger_rollouts=4, dagger_steps=5)
+    xs, ts, xdes = _dagger_states(cfg, bundle, p, dcfg, jax.random.PRNGKey(7))
+    assert xs.shape == (20, 13) and ts.shape == (20,) and xdes.shape == (20, 13)
+    assert np.isfinite(np.asarray(xs)).all()
+    # rollouts start from distinct positions
+    first_step = np.asarray(xs.reshape(5, 4, 13)[0])
+    assert np.std(first_step[:, 0]) > 0.1
+
+
 def test_policy_checkpoint_roundtrip(small_cfg, tmp_path):
     """save_policy → ``policy.params_path`` serving; horizon mismatch is a
     load-time error, not silent garbage."""
