@@ -182,12 +182,20 @@ def label_states(
         from jax.sharding import NamedSharding, PartitionSpec as P
         from sde4mbrl_px4_tpu.parallel.batched import make_batched_mpc
 
+        # pad to a dp-divisible batch (sharded leading axis), slice back
+        dp = int(mesh.shape["dp"])
+        pad = (-n) % dp
+        if pad:
+            xs = jnp.concatenate([xs, jnp.tile(xs[-1:], (pad, 1))])
+            ts = jnp.concatenate([ts, jnp.tile(ts[-1:], (pad,))])
+            xdes = jnp.concatenate([xdes, jnp.tile(xdes[-1:], (pad, 1))])
+            rngs = jnp.concatenate([rngs, jnp.tile(rngs[-1:], (pad, 1))])
         reset_b, mpc_b, _ = make_batched_mpc(ecfg, mesh)
         sh = NamedSharding(mesh, P("dp", None))
         xs = jax.device_put(xs, sh)
         st = reset_b(xs, rngs, xdes)
         u_opt, _, _, _ = mpc_b(xs, rngs, st, ts, xdes)
-        return u_opt
+        return u_opt[:n]
     from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
 
     _, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(ecfg)

@@ -149,6 +149,28 @@ def test_distillation_learns_expert(small_cfg):
     assert err < err_hover, (err, err_hover)
 
 
+def test_label_states_mesh_matches_unsharded(small_cfg):
+    """Mesh-sharded labeling == plain vmap labeling (same expert, same
+    rngs), including a batch that does NOT divide the dp axis (padded)."""
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+    from sde4mbrl_px4_tpu.learning.distill import (
+        DistillConfig, label_states, sample_states,
+    )
+    from sde4mbrl_px4_tpu.parallel.mesh import make_mesh
+
+    dcfg = DistillConfig(n_states=10, expert_max_iter=12)
+    cfg = dict(small_cfg)
+    _, _, _, bundle = make_mpc_from_config(dict(cfg))
+    xs, ts, xdes = sample_states(bundle, 10, jax.random.PRNGKey(5), dcfg)
+    mesh = make_mesh((len(jax.devices()), 1))
+    lab_mesh = label_states(cfg, xs, ts, xdes, jax.random.PRNGKey(6), dcfg,
+                            mesh=mesh)
+    lab_ref = label_states(cfg, xs, ts, xdes, jax.random.PRNGKey(6), dcfg)
+    assert lab_mesh.shape == (10, 6, 4)
+    np.testing.assert_allclose(np.asarray(lab_mesh), np.asarray(lab_ref),
+                               atol=2e-4)
+
+
 def test_dagger_harvest_covers_engagement(small_cfg):
     """The DAgger state harvest rolls the policy closed-loop from
     independent (start, target) pairs — visited states must differ across
