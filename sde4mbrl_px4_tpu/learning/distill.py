@@ -106,15 +106,17 @@ def sample_states(
     n: int,
     rng: jax.Array,
     dcfg: DistillConfig = DistillConfig(),
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """→ ``(xs[n,13] NED, ts[n], xdes[n,13] ENU)`` training states.
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """→ ``(xs[n,13] NED, ts[n], xdes[n,13] ENU, u_prevs[n,n_u])``.
 
     Trajectory configs: anchor at ``state_from_traj(t)`` for uniform random
     ``t`` over the table, then perturb. Pos-control configs: anchor at a
     random hover target and offset the start (``xdes`` is ENU at the public
     boundary, matching ``mpc_fn``'s convention, ``engine/mpc_loader.py``).
+    ``u_prevs`` is the previous-command context (a policy/expert input via
+    the slew cost and the feature vector): uref plus noise, inside the box.
     """
-    ks = jax.random.split(rng, 7)
+    ks = jax.random.split(rng, 8)
     sft = bundle.state_from_traj
     if sft is not None:
         # table horizon: sample over [0, T_table); sft clamps past the end.
@@ -158,7 +160,13 @@ def sample_states(
     q_new = jax.vmap(quat.qmul)(xs[:, 6:10], dq)
     xs = xs.at[:, 6:10].set(jax.vmap(quat.qnormalize)(q_new))
     xs = xs.at[:, 10:13].add(dcfg.rate_std * jax.random.normal(ks[4], (n, 3)))
-    return xs.astype(jnp.float32), ts.astype(jnp.float32), xdes.astype(jnp.float32)
+    n_u = bundle.model.n_u
+    u_prevs = jnp.clip(
+        jnp.broadcast_to(bundle.cost_params.uref, (n, n_u))
+        + 0.1 * jax.random.normal(ks[7], (n, n_u), jnp.float32),
+        bundle.lb, bundle.ub)
+    return (xs.astype(jnp.float32), ts.astype(jnp.float32),
+            xdes.astype(jnp.float32), u_prevs.astype(jnp.float32))
 
 
 def label_states(
@@ -169,11 +177,16 @@ def label_states(
     rng: jax.Array,
     dcfg: DistillConfig = DistillConfig(),
     mesh=None,
+    u_prevs: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Converged expert plans ``u*[n, H, n_u]`` for each state.
 
     With a ``mesh``, labeling shards scenario-DP over the devices
     (``parallel/batched.py``); otherwise a plain jitted ``vmap``.
+    ``u_prevs`` seeds the expert's warm-start row 0, so the label actually
+    DEPENDS on the previous-command feature (the slew cost reads
+    ``opt_state.yk[0]``, ``engine/mpc_loader.py``) — otherwise the policy
+    would correctly learn to ignore that input.
     """
     ecfg = _expert_cfg(cfg, dcfg)
     n = int(xs.shape[0])
@@ -190,43 +203,60 @@ def label_states(
             ts = jnp.concatenate([ts, jnp.tile(ts[-1:], (pad,))])
             xdes = jnp.concatenate([xdes, jnp.tile(xdes[-1:], (pad, 1))])
             rngs = jnp.concatenate([rngs, jnp.tile(rngs[-1:], (pad, 1))])
-        reset_b, mpc_b, _ = make_batched_mpc(ecfg, mesh)
+            if u_prevs is not None:
+                u_prevs = jnp.concatenate(
+                    [u_prevs, jnp.tile(u_prevs[-1:], (pad, 1))])
+        reset_b, mpc_b, bundle = make_batched_mpc(ecfg, mesh)
         sh = NamedSharding(mesh, P("dp", None))
         xs = jax.device_put(xs, sh)
         st = reset_b(xs, rngs, xdes)
+        if u_prevs is not None:
+            n_u = bundle.model.n_u
+            st = st._replace(yk=st.yk.at[:, 0, :n_u].set(u_prevs))
         u_opt, _, _, _ = mpc_b(xs, rngs, st, ts, xdes)
         return u_opt[:n]
     from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
 
-    _, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(ecfg)
+    _, (reset_fn, mpc_fn), _, bundle = make_mpc_from_config(ecfg)
+    n_u = bundle.model.n_u
 
     @jax.jit
-    def _solve(x, key, t, xd):
+    def _solve(x, key, t, xd, up):
         st = reset_fn(x, key, xd)
+        if up is not None:
+            st = st._replace(yk=st.yk.at[0, :n_u].set(up))
         sol = mpc_fn(x, key, st, curr_t=t, xdes=xd)
         return sol.u_opt
 
-    return jax.vmap(_solve)(xs, rngs, ts, xdes)
+    if u_prevs is None:
+        u_prevs = jnp.broadcast_to(
+            jnp.asarray(bundle.cost_params.uref), (n, n_u))
+    return jax.vmap(_solve)(xs, rngs, ts, xdes, u_prevs)
 
 
-def build_features(bundle, xs: jax.Array, ts: jax.Array, xdes: jax.Array) -> jax.Array:
+def build_features(bundle, xs: jax.Array, ts: jax.Array, xdes: jax.Array,
+                   u_prevs: Optional[jax.Array] = None) -> jax.Array:
     """Policy inputs for a batch of states — the SAME reference window the
     ``solver: policy`` serving path builds (``engine/mpc_loader.py``
-    ``_build_ref``: trajectory knots in NED, or the broadcast NED target)."""
+    ``_build_ref``: trajectory knots in NED, or the broadcast NED target).
+    ``u_prevs`` defaults to uref (hover context)."""
     sft = bundle.state_from_traj
     knots = bundle.knot_times
+    if u_prevs is None:
+        u_prevs = jnp.broadcast_to(
+            jnp.asarray(bundle.cost_params.uref),
+            (xs.shape[0], bundle.model.n_u))
 
-    def _one(x, t, xd):
+    def _one(x, t, xd, up):
         if sft is not None:
             ref = sft(t + knots)
             ref = enu2ned(ref) if bundle.convert_to_enu else ref
         else:
             tgt = enu2ned(xd) if bundle.convert_to_enu else xd
             ref = jnp.broadcast_to(tgt, (knots.shape[0], 13))
-        u_prev = jnp.broadcast_to(bundle.cost_params.uref, (bundle.model.n_u,))
-        return featurize(x, ref, u_prev)
+        return featurize(x, ref, up)
 
-    return jax.vmap(_one)(xs, ts, xdes)
+    return jax.vmap(_one)(xs, ts, xdes, u_prevs)
 
 
 # ---------------------------------------------------------------------------
@@ -312,23 +342,25 @@ def distill_policy(
     _, _, _, bundle = make_mpc_from_config(dict(cfg))
     rng = jax.random.PRNGKey(dcfg.seed)
     k_s, k_l, k_d = jax.random.split(rng, 3)
-    xs, ts, xdes = sample_states(bundle, dcfg.n_states, k_s, dcfg)
+    xs, ts, xdes, ups = sample_states(bundle, dcfg.n_states, k_s, dcfg)
     t0 = time.perf_counter()
     labels = jax.block_until_ready(
-        label_states(cfg, xs, ts, xdes, k_l, dcfg, mesh=mesh))
+        label_states(cfg, xs, ts, xdes, k_l, dcfg, mesh=mesh, u_prevs=ups))
     label_s = time.perf_counter() - t0
-    feats = build_features(bundle, xs, ts, xdes)
+    feats = build_features(bundle, xs, ts, xdes, ups)
     params, stats = train_policy(
         feats, labels, bundle.lb, bundle.ub, bundle.cost_params.uref,
         dcfg, verbose=verbose)
     stats["label_s"] = label_s
 
     for rd in range(dcfg.dagger_rounds):
-        xs2, ts2, xdes2 = _dagger_states(cfg, bundle, params, dcfg,
-                                         jax.random.fold_in(k_d, rd))
+        xs2, ts2, xdes2, ups2 = _dagger_states(cfg, bundle, params, dcfg,
+                                               jax.random.fold_in(k_d, rd))
         lab2 = label_states(cfg, xs2, ts2, xdes2,
-                            jax.random.fold_in(k_l, rd + 1), dcfg, mesh=mesh)
-        feats = jnp.concatenate([feats, build_features(bundle, xs2, ts2, xdes2)])
+                            jax.random.fold_in(k_l, rd + 1), dcfg, mesh=mesh,
+                            u_prevs=ups2)
+        feats = jnp.concatenate(
+            [feats, build_features(bundle, xs2, ts2, xdes2, ups2)])
         labels = jnp.concatenate([labels, lab2])
         params, st2 = train_policy(
             feats, labels, bundle.lb, bundle.ub, bundle.cost_params.uref,
