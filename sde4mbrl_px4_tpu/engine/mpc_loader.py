@@ -307,9 +307,17 @@ def make_mpc_from_config(
                     f" {int(policy_net['meta_n_u'])}) != config ({H}, {n_u})")
         else:
             if ppath:
-                warnings.warn(
-                    f"policy.params_path {ppath!r} not found; initializing "
-                    "an untrained hover policy (train with learning/distill.py)")
+                # An explicitly configured checkpoint that is missing must
+                # be a hard error: in a serving path a typo'd params_path
+                # degrading to an untrained hover policy is a controller
+                # that silently ignores its reference. The untrained-init
+                # fallback is reserved for configs that OMIT params_path
+                # (training / bench use).
+                raise ValueError(
+                    f"policy.params_path {ppath!r} does not exist — refusing "
+                    "to serve an untrained hover policy in its place. Train "
+                    "one with learning/distill.py (save_policy), or drop "
+                    "params_path to explicitly request an untrained init.")
             policy_net = jax.tree.map(jnp.asarray, _policy_mod.init_policy(
                 jax.random.PRNGKey(int(cfg.get("seed", 0))), H, n_u,
                 np.asarray(lb), np.asarray(ub), np.asarray(cost_params.uref),

@@ -426,13 +426,19 @@ def _dagger_states(cfg, bundle, params, dcfg: DistillConfig, rng: jax.Array):
         x_next = jax.vmap(
             lambda xx, pp: rollout_mean(bundle.model, bundle.params, xx, pp,
                                         bundle.time_steps)[1])(x, plan)
-        return (x_next, plan[:, 0], t + dt0), (x, t)
+        return (x_next, plan[:, 0], t + dt0), (x, u_prev, t)
 
-    (_, _, _), (xs, ts) = jax.lax.scan(step, (x0, u_prev0, t0s), None, length=T)
+    (_, _, _), (xs, ups, ts) = jax.lax.scan(
+        step, (x0, u_prev0, t0s), None, length=T)
+    # u_prev is harvested ALONGSIDE x: the command context in effect when
+    # the policy visited x — the same pairing the labeling expert warm-starts
+    # with and build_features conditions on (covariate shift in u_prev is
+    # part of what DAgger fixes, not just shift in x).
     xs = xs.reshape(B * T, 13)
+    ups = ups.reshape(B * T, n_u)
     ts = ts.reshape(B * T)
     xdes = jnp.tile(xdes_b, (T, 1, 1)).reshape(B * T, 13)
-    return xs, ts, xdes
+    return xs, ts, xdes, ups
 
 
 # ---------------------------------------------------------------------------

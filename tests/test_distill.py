@@ -131,10 +131,11 @@ def test_distillation_learns_expert(small_cfg):
     cfg = dict(small_cfg)
     _, _, _, bundle = make_mpc_from_config(dict(cfg))
     rng = jax.random.PRNGKey(1)
-    xs, ts, xdes = sample_states(bundle, dcfg.n_states, rng, dcfg)
-    labels = label_states(cfg, xs, ts, xdes, jax.random.PRNGKey(2), dcfg)
+    xs, ts, xdes, ups = sample_states(bundle, dcfg.n_states, rng, dcfg)
+    labels = label_states(cfg, xs, ts, xdes, jax.random.PRNGKey(2), dcfg,
+                          u_prevs=ups)
     assert labels.shape == (dcfg.n_states, 6, 4)
-    feats = build_features(bundle, xs, ts, xdes)
+    feats = build_features(bundle, xs, ts, xdes, ups)
     n_tr = 80
     params, stats = train_policy(
         feats[:n_tr], labels[:n_tr], bundle.lb, bundle.ub,
@@ -161,11 +162,12 @@ def test_label_states_mesh_matches_unsharded(small_cfg):
     dcfg = DistillConfig(n_states=10, expert_max_iter=12)
     cfg = dict(small_cfg)
     _, _, _, bundle = make_mpc_from_config(dict(cfg))
-    xs, ts, xdes = sample_states(bundle, 10, jax.random.PRNGKey(5), dcfg)
+    xs, ts, xdes, ups = sample_states(bundle, 10, jax.random.PRNGKey(5), dcfg)
     mesh = make_mesh((len(jax.devices()), 1))
     lab_mesh = label_states(cfg, xs, ts, xdes, jax.random.PRNGKey(6), dcfg,
-                            mesh=mesh)
-    lab_ref = label_states(cfg, xs, ts, xdes, jax.random.PRNGKey(6), dcfg)
+                            mesh=mesh, u_prevs=ups)
+    lab_ref = label_states(cfg, xs, ts, xdes, jax.random.PRNGKey(6), dcfg,
+                           u_prevs=ups)
     assert lab_mesh.shape == (10, 6, 4)
     np.testing.assert_allclose(np.asarray(lab_mesh), np.asarray(lab_ref),
                                atol=2e-4)
@@ -185,9 +187,15 @@ def test_dagger_harvest_covers_engagement(small_cfg):
         jax.random.PRNGKey(0), 6, 4, lb, ub,
         np.asarray(bundle.cost_params.uref), hidden=(32,)))
     dcfg = DistillConfig(dagger_rollouts=4, dagger_steps=5)
-    xs, ts, xdes = _dagger_states(cfg, bundle, p, dcfg, jax.random.PRNGKey(7))
+    xs, ts, xdes, ups = _dagger_states(cfg, bundle, p, dcfg,
+                                       jax.random.PRNGKey(7))
     assert xs.shape == (20, 13) and ts.shape == (20,) and xdes.shape == (20, 13)
+    assert ups.shape == (20, 4)
     assert np.isfinite(np.asarray(xs)).all()
+    # harvested u_prev context stays inside the input box (it's a policy
+    # output fed back, so feasibility is a property worth pinning)
+    assert (np.asarray(ups) >= np.asarray(bundle.lb) - 1e-6).all()
+    assert (np.asarray(ups) <= np.asarray(bundle.ub) + 1e-6).all()
     # rollouts start from distinct positions
     first_step = np.asarray(xs.reshape(5, 4, 13)[0])
     assert np.std(first_step[:, 0]) > 0.1
@@ -219,3 +227,25 @@ def test_policy_checkpoint_roundtrip(small_cfg, tmp_path):
     cfg_bad = dict(cfg); cfg_bad["horizon"] = 8; cfg_bad["num_short_dt"] = 8
     with pytest.raises(ValueError, match="horizon"):
         make_mpc_from_config(cfg_bad)
+
+
+def test_policy_missing_checkpoint_is_an_error(small_cfg, tmp_path):
+    """A typo'd ``policy.params_path`` must refuse to load, not silently
+    serve an untrained hover policy; omitting params_path still gives the
+    untrained init (training/bench use)."""
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+
+    cfg = dict(small_cfg)
+    cfg["solver"] = "policy"
+    cfg["policy"] = {"params_path": str(tmp_path / "nope.pkl")}
+    with pytest.raises(ValueError, match="does not exist"):
+        make_mpc_from_config(cfg)
+
+    cfg_ok = dict(small_cfg)
+    cfg_ok["solver"] = "policy"
+    cfg_ok["policy"] = {"hidden": [32]}
+    _, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(cfg_ok)
+    x = jnp.asarray(hover_state())
+    sol = mpc_fn(x, jax.random.PRNGKey(0),
+                 reset_fn(x, jax.random.PRNGKey(0), x))
+    assert sol.u_opt.shape == (6, 4)
