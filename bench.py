@@ -25,7 +25,7 @@ import time
 # the fused Mosaic kernels take ~3 min to compile cold but hit the cache on
 # every subsequent run of ANY entry point.
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from sde4mbrl_px4_tpu.compile_cache import ensure_compile_cache
+from sde4mbrl_px4_tpu.compile_cache import ensure_compile_cache, warm_fetch_async
 
 ensure_compile_cache()
 
@@ -47,6 +47,14 @@ def main():
 
     _log(f"devices: {jax.devices()}")
 
+    # The dev tunnel charges a one-time multi-minute penalty on a process's
+    # FIRST device->host fetch (BENCH_r02's "compile+warm 266 s" was this,
+    # not compilation — XLA compile of the same program is <1 s cache-warm).
+    # Start it now on a background thread so it overlaps the solver
+    # compiles; join + report it separately before anything is timed.
+    t_wf = time.time()
+    wf = warm_fetch_async()
+
     t0 = time.time()
     cfg, (reset_fn, mpc_fn), state_from_traj, bundle = load_mpc_from_cfgfile(
         os.path.join(here, "configs", "iris_traj_mpc.yaml")
@@ -63,7 +71,12 @@ def main():
     jm = jax.jit(mpc_fn)
     sol = jm(x, rng, st, jnp.float32(T0), x)
     jax.block_until_ready(sol.u_opt)
-    _log(f"compile+warm: {time.time()-t0:.1f}s")
+    startup_s = time.time() - t0
+    wf.join()
+    first_fetch_s = time.time() - t_wf
+    _log(f"compile+warm: {startup_s:.1f}s (load+compile only; persistent "
+         f"cache at {os.environ.get('JAX_COMPILATION_CACHE_DIR')}); tunnel "
+         f"first-fetch penalty absorbed concurrently: {first_fetch_s:.1f}s")
 
     # Warm-started closed-loop sequence (plant = predicted next state).
     n_warm, n_meas = 10, 60
@@ -96,16 +109,17 @@ def main():
     # -- on-device chip rate (the BASELINE.json metric: solves/s/chip). The
     # per-call rate above includes the dev harness's ~9 ms tunnel dispatch
     # floor; chaining K solves in one program measures the chip itself.
-    chip_rate = None
+    chip_rate = steps_per_solve = None
     try:
-        chip_rate = _bench_chained(here, _log, cfg, mpc_fn, reset_fn,
-                                   state_from_traj, t_start=T0)
+        chip_rate, steps_per_solve = _bench_chained(
+            here, _log, cfg, mpc_fn, reset_fn, state_from_traj, t_start=T0)
     except Exception as e:  # noqa: BLE001
         _log(f"chained bench skipped: {e!r}")
 
     # -- secondary benchmarks (stderr): BASELINE configs 4-5 ----------------
+    p1024_stats = None
     try:
-        _bench_particles(here, _log)
+        p1024_stats = _bench_particles(here, _log)
     except Exception as e:  # noqa: BLE001 — secondary metric must not kill bench
         _log(f"particle bench skipped: {e!r}")
     try:
@@ -140,6 +154,12 @@ def main():
         out["p99_vs_budget"] = round(pipe_stats["p99"] * 1e3 / 50.0, 3)
     if policy_rate is not None:
         out["policy_solves_per_sec"] = round(float(policy_rate), 1)
+    if steps_per_solve is not None:
+        out["apg_steps_per_solve"] = round(float(steps_per_solve), 1)
+    if p1024_stats is not None:
+        out.update(p1024_stats)
+    out["startup_s"] = round(float(startup_s), 1)
+    out["tunnel_first_fetch_s"] = round(float(first_fetch_s), 1)
     if chip_rate is not None:
         gf = _achieved_gflops(cfg, float(sol.opt_state.num_steps), chip_rate)
         out["achieved_gflops"] = round(gf, 1)
@@ -242,7 +262,16 @@ def _bench_chained(here, _log, cfg, mpc_fn, reset_fn, state_from_traj, K=10,
     """On-device sequential solve rate: K receding-horizon solves chained in
     ONE jitted program (lax.scan with state feedback), amortizing the
     host-dispatch floor (~9 ms/call through the axon dev tunnel; ~0.1 ms on
-    a locally-attached TPU host). This is the chip's intrinsic rate."""
+    a locally-attached TPU host). This is the chip's intrinsic rate.
+
+    PINNED workload (round-3 reproducibility fix): one warm-up chain from
+    ``t_start`` produces a steady warm-started operating point; every timed
+    repetition then re-solves the SAME fixed trajectory window from that
+    same (state, warm start, rng) — the APG iteration count per solve is
+    bit-identical across reps AND across bench runs, so run-to-run deltas
+    are latency, not trajectory-position-dependent convergence. steps/solve
+    is reported alongside ms/solve for exactly that reason.
+    """
     import jax
     import jax.numpy as jnp
     from sde4mbrl_px4_tpu.core.frames import enu2ned
@@ -256,63 +285,102 @@ def _bench_chained(here, _log, cfg, mpc_fn, reset_fn, state_from_traj, K=10,
         def body(carry, k):
             x, rng, st = carry
             u, st1, rng1, x_evol = mpc_fn(x, rng, st, t_start + k * dt, x)
-            return (x_evol[1], rng1, st1), u[0]
+            return (x_evol[1], rng1, st1), (u[0], st1.num_steps)
 
-        (xf, rngf, stf), us = jax.lax.scan(
+        (xf, rngf, stf), (us, steps) = jax.lax.scan(
             body, (x, rng, st), jnp.arange(K, dtype=jnp.float32)
         )
-        return xf, rngf, stf, us
+        return xf, rngf, stf, us, steps
 
     jc = jax.jit(chain)
-    xf, rngf, stf, us = jc(x0, rng, st0, jnp.float32(t_start))
+    # warm-up chain: compile + reach the steady warm-started regime
+    x1, rng1, st1, us, _ = jc(x0, rng, st0, jnp.float32(t_start))
     jax.block_until_ready(us)
+    t1 = jnp.float32(t_start + K * dt)
+    # pinned window [t_start+K*dt, t_start+2K*dt): identical inputs each rep
+    xf, rngf, stf, us, steps = jc(x1, rng1, st1, t1)
+    jax.block_until_ready(us)
+    steps_per_solve = float(jnp.mean(steps))
     t0 = time.perf_counter()
     n = 5
-    t = t_start
     for _ in range(n):
-        xf, rngf, stf, us = jc(xf, rngf, stf, jnp.float32(t))
-        t += K * dt
-    jax.block_until_ready(us)
+        out = jc(x1, rng1, st1, t1)
+    jax.block_until_ready(out[3])
     per_solve = (time.perf_counter() - t0) / (n * K)
-    _log(f"on-device chained rate: {per_solve*1e3:.2f} ms/solve "
-         f"({1.0/per_solve:.1f} solves/s excl. host dispatch)")
-    return 1.0 / per_solve
+    _log(f"on-device chained rate (pinned window t=[{float(t1):.2f},"
+         f"{float(t1) + K * dt:.2f}), seed 0): {per_solve*1e3:.2f} ms/solve "
+         f"({1.0/per_solve:.1f} solves/s excl. host dispatch), "
+         f"{steps_per_solve:.1f} APG steps/solve")
+    return 1.0 / per_solve, steps_per_solve
 
 
-def _bench_particles(here, _log, P=1024):
+def _bench_particles(here, _log, P=1024, n_steps=110):
     """Uncertainty-aware MPC: 1024 Monte-Carlo sample paths per solve
-    (BASELINE config 4)."""
+    (BASELINE config 4) — warm receding-horizon solves across ``n_steps``
+    steps of the LEMNISCATE (where convergence varies with trajectory
+    position), reporting p50/p99 per-solve latency against the 50 ms
+    control budget. Two latency views:
+
+    - on-device mean via a chained scan over the same window (the chip's
+      intrinsic per-solve cost, incl. the hard steps), and
+    - per-call busy time with the engine's pipelined dispatch pattern
+      (fetch previous plan, dispatch next) — the number that must fit the
+      control period on the host.
+    """
     import jax
     import jax.numpy as jnp
     from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
     from sde4mbrl_px4_tpu.io.config import load_yaml_config
-    from sde4mbrl_px4_tpu.core.types import hover_state
+    from sde4mbrl_px4_tpu.core.frames import enu2ned
 
-    cfg = load_yaml_config(os.path.join(here, "configs", "iris_posctrl_mpc.yaml"))
+    cfg = load_yaml_config(os.path.join(here, "configs", "iris_traj_mpc.yaml"))
     cfg["num_particles"] = P
     # Full reference iteration budget (max_iter 200 with atol/rtol early
-    # exit, reference iris_sitl_traj_mpc.yaml:60 — set explicitly since the
-    # posctrl config ships max_iter 100); steps actually executed are
-    # reported — warm-started receding-horizon solves converge early, which
-    # IS the flight workload.
+    # exit, reference iris_sitl_traj_mpc.yaml:60); steps actually executed
+    # are reported — warm-started receding-horizon solves converge early,
+    # which IS the flight workload.
     cfg["apg_mpc"]["max_iter"] = 200
-    _, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(dict(cfg))
-    x0 = hover_state()
-    xdes = hover_state().at[0].set(1.0)    # setpoint step keeps the solver busy
+    _, (reset_fn, mpc_fn), sft, _ = make_mpc_from_config(dict(cfg))
+    dt = float(cfg["_time_steps"][0])
+    T0 = 3.0
+    x = enu2ned(sft(T0))
     rng = jax.random.PRNGKey(0)
-    st = reset_fn(x0, rng, x0)
+    st = reset_fn(x, rng, x)
     jm = jax.jit(mpc_fn)
-    sol = jm(x0, rng, st, jnp.float32(0.0), xdes)
+    sol = jm(x, rng, st, jnp.float32(T0), x)
     jax.block_until_ready(sol.u_opt)
-    t0 = time.perf_counter()
-    n = 5
-    for _ in range(n):
-        sol = jm(x0, sol.rng, sol.opt_state, jnp.float32(0.0), xdes)
-    jax.block_until_ready(sol.u_opt)
-    dt_s = (time.perf_counter() - t0) / n
-    _log(f"{P}-particle uncertainty solve (200-iter budget, "
-         f"{float(sol.opt_state.num_steps):.0f} steps executed, bf16 matmuls): "
-         f"{dt_s*1e3:.1f} ms ({P/dt_s:.0f} sampled paths*solves/s)")
+
+    # per-call pipelined busy time across the lemniscate window
+    lat, steps_seen = [], []
+    prev = None
+    t = T0
+    n_warm = 8
+    for k in range(n_warm + n_steps):
+        t1 = time.perf_counter()
+        if prev is not None:
+            x_evol, n_st = jax.device_get((prev.x_evol, prev.opt_state.num_steps))
+            x_host = jnp.asarray(x_evol[1])
+            steps_seen.append(float(n_st))
+        else:
+            x_host = x
+        cur = jm(x_host, sol.rng, sol.opt_state, jnp.float32(t), x_host)
+        sol = cur
+        cur.x_evol.copy_to_host_async()
+        busy = time.perf_counter() - t1
+        if k >= n_warm:
+            lat.append(busy)
+        t += dt
+        time.sleep(max(0.0, dt - busy))
+    lat = np.asarray(lat)
+    p50, p99 = np.percentile(lat, 50), np.percentile(lat, 99)
+    _log(f"{P}-particle uncertainty solves over {n_steps} lemniscate steps "
+         f"(200-iter budget, steps/solve mean {np.mean(steps_seen):.1f} "
+         f"max {np.max(steps_seen):.0f}): per-call busy p50={p50*1e3:.1f}ms "
+         f"p99={p99*1e3:.1f}ms vs 50 ms budget "
+         f"({'PASS' if p99 < 0.050 else 'OVER'})")
+    return {"p1024_percall_p50_ms": round(float(p50) * 1e3, 1),
+            "p1024_percall_p99_ms": round(float(p99) * 1e3, 1),
+            "p1024_steps_mean": round(float(np.mean(steps_seen)), 1)}
 
 
 def _bench_mppi(here, _log, K=20):

@@ -85,6 +85,36 @@ class OverrunMeter:
         return max(0, min(idx, horizon - 1))
 
 
+class BudgetMeter:
+    """Warns (rate-limited) when blocking solves exceed the control period.
+
+    The blocking ``solve_once`` path holds the caller for the full solve
+    round trip; if that exceeds the control indexing period (plan step 0
+    dt — the reference's 50 ms budget, ``iris_sitl_traj_mpc.yaml:46``),
+    every published plan is already ≥1 index stale at publication and the
+    caller cannot sustain the control rate. Pipeline mode (or the async
+    engine's dispatch/collect split) is the fix; this meter makes the
+    blocking footgun loud instead of silent.
+    """
+
+    def __init__(self, log_period_s: float = 1.0):
+        self.count = 0
+        self._last_log = 0.0
+        self._period = log_period_s
+
+    def record(self, solve_time_s: float, budget_s: float) -> None:
+        self.count += 1
+        now = time.time()
+        if now - self._last_log > self._period:
+            self._last_log = now
+            _LOG.warning(
+                "blocking solve %.1f ms exceeds the %.0f ms control period "
+                "(%d total): the caller cannot hold the control rate — use "
+                "pipeline=True or the async engine (SDEControlNode)",
+                solve_time_s * 1e3, budget_s * 1e3, self.count,
+            )
+
+
 @dataclass
 class ControlAutomata:
     """Mode machine resolved on every incoming state (``sde_control.py:180-220``).
@@ -202,6 +232,11 @@ class CompiledMPC:
     """
 
     def __init__(self, cfg_path: str, seed: int = 0, convert_to_enu: bool = True):
+        # Absorb the tunnel's one-time first-fetch penalty concurrently with
+        # the compiles below (no-op cost on a locally-attached TPU host).
+        from sde4mbrl_px4_tpu.compile_cache import warm_fetch_async
+
+        warm_fetch_async()
         cfg, (reset_fn, mpc_fn), state_from_traj, bundle = load_mpc_from_cfgfile(
             cfg_path, convert_to_enu=convert_to_enu
         )
@@ -277,6 +312,7 @@ class RecedingHorizonController:
         self.plan_is_traj = False
         self.last_record = OptMPCStateRecord()
         self.overruns = OverrunMeter()
+        self.budget_warn = BudgetMeter()
 
         self._curr_ctrl: Optional[str] = None
         self._idle_traj = False
@@ -341,7 +377,11 @@ class RecedingHorizonController:
             # pipelines (the Future caches its fetch, so nothing is
             # transferred twice).
             return self._publish(*(prev if prev is not None else fut).result())
-        return self._collect(*entry)
+        record = self._collect(*entry)
+        budget = (self.traj if self.plan_is_traj else self.pos).dt_usec / 1e6
+        if record.solve_time > budget:
+            self.budget_warn.record(record.solve_time, budget)
+        return record
 
     def solve_async(self, x: np.ndarray, control_state: int,
                     trajec_time: float, target_x: np.ndarray,

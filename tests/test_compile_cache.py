@@ -1,0 +1,108 @@
+"""Persistent compile cache (sde4mbrl_px4_tpu/compile_cache.py).
+
+The cache is part of the startup budget story: the reference's node
+bring-up is dominated by the three AOT compiles it logs
+(``sde_control.py:695-720``); our equivalent must pay the XLA pipeline
+ONCE per program across processes. Two environment traps are covered:
+
+- the image's sitecustomize imports jax before user code, so the
+  env-var-only configuration silently never engaged (round-2 regression:
+  a populated ``.jax_cache`` with zero TPU entries) — ``ensure_compile_cache``
+  must push the directory through ``jax.config.update`` too;
+- a subprocess compiling a solver must WARM the cache for a second
+  subprocess (the cross-process property the engine relies on).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import os, sys, time
+sys.path.insert(0, {root!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+os.environ["JAX_COMPILATION_CACHE_DIR"] = {cache!r}
+from sde4mbrl_px4_tpu.compile_cache import ensure_compile_cache
+p = ensure_compile_cache()
+assert p == {cache!r}, p
+assert jax.config.jax_compilation_cache_dir == {cache!r}
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import yaml
+cfg = yaml.safe_load(open(os.path.join({root!r}, "configs/iris_posctrl_mpc.yaml")))
+cfg["horizon"] = 5; cfg["num_short_dt"] = 5
+cfg["apg_mpc"]["max_iter"] = 8; cfg["apg_mpc"]["max_no_improvement_iter"] = 8
+cfg["learned_model_params"] = os.path.join({root!r}, "configs/models/iris_sde.pkl")
+from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+from sde4mbrl_px4_tpu.core.types import hover_state
+import jax.numpy as jnp
+_, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(cfg)
+x = jnp.asarray(hover_state()); rng = jax.random.PRNGKey(0)
+t0 = time.perf_counter()
+st = reset_fn(x, rng, x)
+sol = jax.jit(mpc_fn)(x, rng, st, 0.0, x)
+jax.block_until_ready(sol.u_opt)
+print("COMPILE_S", time.perf_counter() - t0)
+"""
+
+
+@pytest.mark.slow
+def test_cache_warms_across_processes(tmp_path):
+    """Process 1 compiles the solver cold; process 2 must hit the persistent
+    cache (entries on disk + a decisively faster compile+warm)."""
+    cache = str(tmp_path / "xla_cache")
+    script = _CHILD.format(root=_ROOT, cache=cache)
+
+    def run():
+        r = subprocess.run([sys.executable, "-c", script],
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        line = [l for l in r.stdout.splitlines() if l.startswith("COMPILE_S")][-1]
+        return float(line.split()[1])
+
+    t_cold = run()
+    entries = [f for f in os.listdir(cache) if f.endswith("-cache")]
+    assert entries, "no persistent cache entries written"
+    assert any("jit_" in f for f in entries)
+
+    t_warm = run()
+    # Cold MPC compile is ~10-20 s on this harness; a cache hit
+    # deserializes in well under half that even on a loaded host.
+    assert t_warm < max(0.5 * t_cold, 3.0), (t_cold, t_warm)
+
+
+def test_ensure_compile_cache_configures_live_jax():
+    """With jax already imported (this process), ensure_compile_cache must
+    still take effect via jax.config — the env var alone binds too late in
+    this image (sitecustomize pre-imports jax)."""
+    import jax
+
+    from sde4mbrl_px4_tpu.compile_cache import ensure_compile_cache
+
+    prev_env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    prev_cfg = jax.config.jax_compilation_cache_dir
+    try:
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/s4_cache_probe"
+        p = ensure_compile_cache()
+        assert p == "/tmp/s4_cache_probe"
+        assert jax.config.jax_compilation_cache_dir == p
+    finally:
+        if prev_env is None:
+            os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+        else:
+            os.environ["JAX_COMPILATION_CACHE_DIR"] = prev_env
+        jax.config.update("jax_compilation_cache_dir", prev_cfg)
+
+
+def test_warm_fetch_async_is_single_and_joinable():
+    """One daemon thread per process, idempotent, joins after the fetch."""
+    from sde4mbrl_px4_tpu import compile_cache as cc
+
+    t1 = cc.warm_fetch_async()
+    t2 = cc.warm_fetch_async()
+    assert t1 is t2
+    t1.join(timeout=60)
+    assert not t1.is_alive()

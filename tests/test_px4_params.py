@@ -87,6 +87,70 @@ def test_diff_params():
     assert diff_params({"X": 1.0}, {"X": 1.0 + 1e-9}) == {}
 
 
+def test_full_vehicle_dump_asset(tmp_path):
+    """The committed full-surface dump (``configs/params_hexa_full.params``,
+    the framework's analogue of the reference's 1073-line
+    ``launch/params_hexa_ahg.params``): several hundred params, regenerable
+    bit-for-bit from tools/gen_px4_params.py, consistent with the preflight
+    push subset, and diffable."""
+    full_path = os.path.join(REPO, "configs", "params_hexa_full.params")
+    full = parse_params_file(full_path)
+    assert len(full) >= 400, len(full)
+    # hexa identity + the MPC-offboard essentials are in the full surface
+    assert full["SYS_AUTOSTART"] == 6001
+    assert full["COM_RCL_EXCEPT"] == 4
+    assert full["SER_TEL2_BAUD"] == 921600          # router_hexa.conf UART
+    assert full["BAT1_N_CELLS"] == 6
+    assert isinstance(full["MPC_XY_VEL_MAX"], float)
+
+    # the 17-line preflight subset must be consistent with the full dump on
+    # every shared key (diff restricted to the overlap is empty)
+    subset = parse_params_file(os.path.join(REPO, "configs", "params_hexa.params"))
+    overlap = {k: full[k] for k in subset if k in full}
+    assert len(overlap) >= 5
+    conflicting = diff_params(overlap, {k: subset[k] for k in overlap})
+    assert conflicting == {}, conflicting
+
+    # a fresh stock vehicle (PX4 defaults) diffs against the dump into a
+    # non-trivial push set that INCLUDES the offboard-critical overrides
+    stock = dict(full)
+    stock["COM_RCL_EXCEPT"] = 0
+    stock["MAV_1_MODE"] = 0
+    del stock["SER_TEL2_BAUD"]
+    d = diff_params(stock, full)
+    assert set(d) == {"COM_RCL_EXCEPT", "MAV_1_MODE", "SER_TEL2_BAUD"}
+
+    # regeneration is deterministic (the asset is reviewable, not a blob)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_px4_params", os.path.join(REPO, "tools", "gen_px4_params.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "regen.params")
+    mod.main(out)
+    assert open(out).read() == open(full_path).read()
+
+
+def test_mission_push_full_dump(iris_model, tmp_path):
+    """push_params applied to the FULL vehicle dump: every param lands on
+    the FCU param surface (the reference pushes params one service call at
+    a time, ``basic_control.py:147-149`` — bulk push is the same verb)."""
+    from sde4mbrl_px4_tpu.cli.mission import MissionControl, SimVehicle, dispatch
+    from sde4mbrl_px4_tpu.sim.plant import FCUSim, SDEPlant
+
+    model, params = iris_model
+    fcu = FCUSim(SDEPlant(model, params, sim_dt=0.005))
+    ctl = MissionControl(SimVehicle(fcu), engine=None, log=lambda *a: None)
+    full_path = os.path.join(REPO, "configs", "params_hexa_full.params")
+    assert dispatch(ctl, f"push_params {full_path}")
+    full = parse_params_file(full_path)
+    assert len(fcu.params) >= len(full)
+    assert fcu.params["SYS_AUTOSTART"] == 6001
+    assert fcu.params["EKF2_HGT_MODE"] == 3
+    assert fcu.params["MPC_THR_HOVER"] == pytest.approx(0.42)
+
+
 def test_mission_push_params(iris_model, tmp_path):
     from sde4mbrl_px4_tpu.cli.mission import MissionControl, SimVehicle, dispatch
     from sde4mbrl_px4_tpu.sim.plant import FCUSim, SDEPlant
