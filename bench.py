@@ -68,15 +68,20 @@ def main():
     x = enu2ned(state_from_traj(T0))  # ENU ref -> NED state
     st = reset_fn(x, rng, x)
 
-    jm = jax.jit(mpc_fn)
-    sol = jm(x, rng, st, jnp.float32(T0), x)
-    jax.block_until_ready(sol.u_opt)
+    # AOT-compile first (host + compile service only — no device round trip,
+    # so the timer cannot queue behind the warm fetch), then join the fetch,
+    # then warm-execute. startup_s is the true load+compile cost; the fetch
+    # penalty is the tunnel's, reported separately.
+    jm = jax.jit(mpc_fn).lower(x, rng, st, jnp.float32(T0), x).compile()
     startup_s = time.time() - t0
     wf.join()
     first_fetch_s = time.time() - t_wf
-    _log(f"compile+warm: {startup_s:.1f}s (load+compile only; persistent "
-         f"cache at {os.environ.get('JAX_COMPILATION_CACHE_DIR')}); tunnel "
-         f"first-fetch penalty absorbed concurrently: {first_fetch_s:.1f}s")
+    sol = jm(x, rng, st, jnp.float32(T0), x)
+    jax.block_until_ready(sol.u_opt)
+    _log(f"load+compile: {startup_s:.1f}s (persistent cache at "
+         f"{os.environ.get('JAX_COMPILATION_CACHE_DIR')}); tunnel "
+         f"first-fetch penalty (absorbed concurrently): {first_fetch_s:.1f}s; "
+         f"warm+first-exec: {time.time()-t0-startup_s:.1f}s")
 
     # Warm-started closed-loop sequence (plant = predicted next state).
     n_warm, n_meas = 10, 60
@@ -340,7 +345,7 @@ def _bench_particles(here, _log, P=1024, n_steps=110):
     # are reported — warm-started receding-horizon solves converge early,
     # which IS the flight workload.
     cfg["apg_mpc"]["max_iter"] = 200
-    _, (reset_fn, mpc_fn), sft, _ = make_mpc_from_config(dict(cfg))
+    cfg, (reset_fn, mpc_fn), sft, _ = make_mpc_from_config(dict(cfg))
     dt = float(cfg["_time_steps"][0])
     T0 = 3.0
     x = enu2ned(sft(T0))

@@ -10,12 +10,20 @@
 //
 // Python binding: sde4mbrl_px4_tpu/io/router.py NativeRouter (ctypes); the
 // pure-Python Router is the behavioral twin used for parity tests.
+//
+// Flight logging (conf [General] Log/LogMode, reference
+// scripts/router_sitl.conf:27-28): every ACCEPTED frame (post AllowMsgIdIn)
+// is appended to a .tlog (8-byte big-endian µs timestamp + raw frame),
+// arm-gated in while-armed mode via the HEARTBEAT base_mode bit — parity
+// with the Python twin's FrameLog.
 #include <arpa/inet.h>
 #include <netinet/in.h>
 #include <poll.h>
 #include <pthread.h>
+#include <stdio.h>
 #include <string.h>
 #include <sys/socket.h>
+#include <sys/time.h>
 #include <unistd.h>
 
 #include <atomic>
@@ -42,6 +50,11 @@ struct RRouter {
     pthread_t thread{};
     std::atomic<bool> running{false};
     bool started = false;
+    // flight logging (single pump thread writes; set before start only)
+    FILE* logf = nullptr;
+    int log_mode = 0;  // 0 = off, 1 = always, 2 = while-armed
+    bool armed = false;
+    std::atomic<long> frames_logged{0};
 };
 
 // v2 frames carry a 3-byte msgid at offset 7; v1 a 1-byte msgid at 5.
@@ -51,10 +64,31 @@ int msg_id(const uint8_t* b, int n) {
     return -1;
 }
 
+// HEARTBEAT arm bit: base_mode is payload byte 6, MAV_MODE_FLAG_SAFETY_ARMED
+// = 0x80. v2 zero-trims trailing payload bytes (missing byte => disarmed).
+void log_frame(RRouter* r, int mid, const uint8_t* buf, int n) {
+    if (mid == 0) {
+        int off = (buf[0] == 0xFD) ? 10 : 6;
+        int plen = buf[1];
+        r->armed = (plen > 6 && n >= off + 7) ? (buf[off + 6] & 0x80) != 0
+                                              : false;
+    }
+    if (r->log_mode == 2 && !r->armed) return;
+    timeval tv{};
+    gettimeofday(&tv, nullptr);
+    uint64_t us = static_cast<uint64_t>(tv.tv_sec) * 1000000ull + tv.tv_usec;
+    uint8_t ts[8];
+    for (int i = 0; i < 8; ++i) ts[i] = (us >> (8 * (7 - i))) & 0xFF;
+    fwrite(ts, 1, 8, r->logf);
+    fwrite(buf, 1, static_cast<size_t>(n), r->logf);
+    r->frames_logged++;
+}
+
 void forward(RRouter* r, REndpoint* src, const uint8_t* buf, int n) {
     int mid = msg_id(buf, n);
     if (src->filter_in && (mid < 0 || !src->allow_in.count(mid))) return;
     src->rx_frames++;
+    if (r->logf) log_frame(r, mid, buf, n);
     for (auto* dst : r->eps) {
         if (dst == src) continue;
         if (dst->filter_out && (mid < 0 || !dst->allow_out.count(mid)))
@@ -139,6 +173,23 @@ int router_add_udp(void* vr, const char* name, const char* addr, int port,
     return static_cast<int>(r->eps.size()) - 1;
 }
 
+// Enable flight logging to `path` (conf [General] Log/LogMode). mode:
+// 1 = always, 2 = while-armed. Call before router_start; the path is
+// computed by the caller (Python owns the NNNNN-date.tlog naming so the
+// native router and the twin share one convention).
+int router_set_log(void* vr, const char* path, int mode) {
+    auto* r = static_cast<RRouter*>(vr);
+    if (r->started || r->logf || mode < 1 || mode > 2) return -1;
+    r->logf = fopen(path, "ab");
+    if (!r->logf) return -1;
+    r->log_mode = mode;
+    return 0;
+}
+
+long router_frames_logged(void* vr) {
+    return static_cast<RRouter*>(vr)->frames_logged.load();
+}
+
 int router_start(void* vr) {
     auto* r = static_cast<RRouter*>(vr);
     if (r->started || r->eps.empty()) return -1;
@@ -181,6 +232,7 @@ void router_stop_free(void* vr) {
         close(ep->fd);
         delete ep;
     }
+    if (r->logf) fclose(r->logf);
     delete r;
 }
 

@@ -20,15 +20,30 @@ same topology natively:
 Only frame headers are inspected (msgid at bytes 7..9 of a v2 frame);
 payloads pass through untouched, so the router is dialect-agnostic like
 the original.
+
+Flight logging (``[General]`` ``Log = <dir>`` / ``LogMode = always|
+while-armed``, present-but-commented in the reference conf,
+``scripts/router_sitl.conf:27-28``): every frame the router ACCEPTS is
+appended to a ``.tlog`` in the configured directory (the pymavlink tlog
+format: 8-byte big-endian µs timestamp + raw frame), gated on the vehicle
+arm state learned from HEARTBEAT when mode is ``while-armed``. Replay with
+:func:`read_tlog` — each frame decodes through the same
+``io/mavlink.decode_frame`` the live analysis view uses
+(``tools/analyze.py --live``).
 """
 from __future__ import annotations
 
+import os
 import socket
+import struct
 import threading
+import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, Iterator, List, Optional, Set, Tuple
 
-__all__ = ["Endpoint", "Router", "NativeRouter", "parse_conf"]
+__all__ = ["Endpoint", "Router", "NativeRouter", "parse_conf",
+           "parse_general", "GeneralConf", "FrameLog", "read_tlog",
+           "next_log_path"]
 
 
 def _msgid(frame: bytes) -> Optional[int]:
@@ -37,6 +52,95 @@ def _msgid(frame: bytes) -> Optional[int]:
     if len(frame) >= 6 and frame[0] == 0xFE:  # v1 frames: 1-byte msgid
         return frame[5]
     return None
+
+
+def _heartbeat_armed(frame: bytes) -> Optional[bool]:
+    """Arm bit from a HEARTBEAT (msgid 0) frame, else None.
+
+    base_mode is payload byte 6 (custom_mode u32, type, autopilot,
+    base_mode, ...); bit 0x80 = MAV_MODE_FLAG_SAFETY_ARMED. MAVLink v2
+    zero-trims trailing payload bytes, so a missing byte means base_mode
+    0 = disarmed.
+    """
+    if _msgid(frame) != 0:
+        return None
+    off = 10 if frame[0] == 0xFD else 6
+    plen = frame[1]
+    if plen > 6 and len(frame) >= off + 7:
+        return bool(frame[off + 6] & 0x80)
+    return False
+
+
+@dataclass
+class GeneralConf:
+    """``[General]`` section of a router conf — the flight-logging knobs
+    (mavlink-router's ``Log``/``LogMode``; other keys are accepted and
+    ignored, as the daemon's TCP/stat options have no analogue here)."""
+
+    log_dir: Optional[str] = None
+    log_mode: str = "while-armed"     # "always" | "while-armed"
+
+
+def next_log_path(log_dir: str) -> str:
+    """Sequential flight-log name in ``log_dir`` (mavlink-router style:
+    zero-padded index so lexicographic == chronological)."""
+    os.makedirs(log_dir, exist_ok=True)
+    existing = [f for f in os.listdir(log_dir)
+                if f.endswith(".tlog") and f[:5].isdigit()]
+    nxt = 1 + max((int(f[:5]) for f in existing), default=0)
+    return os.path.join(
+        log_dir, f"{nxt:05d}-{time.strftime('%Y-%m-%d_%H-%M-%S')}.tlog")
+
+
+class FrameLog:
+    """Append-only ``.tlog`` writer (8-byte big-endian µs timestamp + raw
+    frame — the pymavlink tlog convention), arm-gated in ``while-armed``
+    mode. Thread-safe: the Python router pumps one thread per endpoint."""
+
+    def __init__(self, path: str, mode: str = "always"):
+        if mode not in ("always", "while-armed"):
+            raise ValueError(f"LogMode {mode!r}: use always or while-armed")
+        self.path = path
+        self.mode = mode
+        self.armed = False
+        self.frames_logged = 0
+        self._lock = threading.Lock()
+        self._f = open(path, "ab")
+
+    def log(self, frame: bytes) -> None:
+        armed = _heartbeat_armed(frame)
+        with self._lock:
+            if armed is not None:
+                self.armed = armed
+            if self.mode == "while-armed" and not self.armed:
+                return
+            self._f.write(struct.pack(">Q", int(time.time() * 1e6)) + frame)
+            self.frames_logged += 1
+
+    def close(self) -> None:
+        with self._lock:
+            self._f.close()
+
+
+def read_tlog(path: str) -> Iterator[Tuple[int, bytes]]:
+    """Yield ``(t_usec, frame)`` from a ``.tlog``. Frame length comes from
+    the MAVLink header (v2: 12 + payload_len signature-less; v1: 8 +
+    payload_len), so the file needs no separate framing."""
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    while off + 9 <= len(data):
+        (t_usec,) = struct.unpack_from(">Q", data, off)
+        off += 8
+        magic = data[off]
+        if magic == 0xFD:
+            n = 12 + data[off + 1] + (13 if data[off + 2] & 0x01 else 0)
+        elif magic == 0xFE:
+            n = 8 + data[off + 1]
+        else:
+            raise ValueError(f"{path}: bad frame magic 0x{magic:02x} at {off}")
+        yield t_usec, data[off : off + n]
+        off += n
 
 
 @dataclass
@@ -94,17 +198,28 @@ class Endpoint:
 
 
 class Router:
-    """Fan frames from each endpoint to every other endpoint."""
+    """Fan frames from each endpoint to every other endpoint.
 
-    def __init__(self, endpoints: List[Endpoint]):
+    ``log_dir``/``log_mode`` enable flight logging of every ACCEPTED frame
+    (post ``AllowMsgIdIn``) — the ``[General]`` ``Log``/``LogMode``
+    directives (:func:`parse_general`)."""
+
+    def __init__(self, endpoints: List[Endpoint],
+                 log_dir: Optional[str] = None,
+                 log_mode: str = "while-armed"):
         self.endpoints = endpoints
         self._threads: List[threading.Thread] = []
         self._running = False
         self.stats: Dict[str, int] = {e.name: 0 for e in endpoints}
+        self.log_dir, self.log_mode = log_dir, log_mode
+        self.framelog: Optional[FrameLog] = None
 
     def start(self) -> None:
         for e in self.endpoints:
             e.open()
+        if self.log_dir:
+            self.framelog = FrameLog(next_log_path(self.log_dir),
+                                     self.log_mode)
         self._running = True
         for e in self.endpoints:
             th = threading.Thread(target=self._pump, args=(e,), daemon=True)
@@ -117,6 +232,8 @@ class Router:
             if frame is None:
                 continue
             self.stats[src.name] += 1
+            if self.framelog is not None:
+                self.framelog.log(frame)
             for dst in self.endpoints:
                 if dst is not src:
                     dst.send(frame)
@@ -127,6 +244,8 @@ class Router:
             th.join(timeout=1.0)
         for e in self.endpoints:
             e.close()
+        if self.framelog is not None:
+            self.framelog.close()
 
 
 def parse_conf(text: str) -> List[Endpoint]:
@@ -184,6 +303,34 @@ def parse_conf(text: str) -> List[Endpoint]:
     return endpoints
 
 
+def parse_general(text: str) -> GeneralConf:
+    """Parse the ``[General]`` section's flight-logging directives
+    (``Log``, ``LogMode`` — reference ``scripts/router_sitl.conf:20-28``;
+    the daemon's other keys are read and ignored)."""
+    g = GeneralConf()
+    in_general = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if line.startswith("["):
+            in_general = line.strip("[]").split()[0] == "General"
+            continue
+        if not in_general or "=" not in line:
+            continue
+        key, val = (t.strip() for t in line.split("=", 1))
+        k = key.lower()
+        if k == "log" and val:
+            g.log_dir = val
+        elif k == "logmode" and val:
+            mode = val.lower()
+            if mode not in ("always", "while-armed"):
+                raise ValueError(
+                    f"LogMode {val!r}: use always or while-armed")
+            g.log_mode = mode
+    return g
+
+
 class NativeRouter:
     """C++ router core (csrc/router.cpp) behind the same interface as
     :class:`Router` — the actual ``mavlink-routerd``-equivalent for
@@ -191,7 +338,9 @@ class NativeRouter:
     :class:`Router` is the behavioral twin; both are parity-tested against
     the same topology (tests/test_router.py)."""
 
-    def __init__(self, endpoints: List[Endpoint]):
+    def __init__(self, endpoints: List[Endpoint],
+                 log_dir: Optional[str] = None,
+                 log_mode: str = "while-armed"):
         import ctypes
 
         from sde4mbrl_px4_tpu.io.mavlink import load_native
@@ -216,10 +365,34 @@ class NativeRouter:
         lib.router_bound_port.restype = ctypes.c_int
         lib.router_bound_port.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.router_stop_free.argtypes = [ctypes.c_void_p]
+        has_log = hasattr(lib, "router_set_log")
+        if has_log:
+            lib.router_set_log.restype = ctypes.c_int
+            lib.router_set_log.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+            lib.router_frames_logged.restype = ctypes.c_long
+            lib.router_frames_logged.argtypes = [ctypes.c_void_p]
         self._lib = lib
         self._h = ctypes.c_void_p(lib.router_new())
         self.endpoints = endpoints
         self._idx: Dict[str, int] = {}
+        self.log_path: Optional[str] = None
+        if log_dir:
+            if not has_log:
+                lib.router_stop_free(self._h)
+                raise RuntimeError(
+                    "native router lacks flight logging: rebuild with "
+                    "`make -C csrc`")
+            if log_mode not in ("always", "while-armed"):
+                lib.router_stop_free(self._h)
+                raise ValueError(
+                    f"LogMode {log_mode!r}: use always or while-armed")
+            self.log_path = next_log_path(log_dir)
+            if lib.router_set_log(
+                    self._h, self.log_path.encode(),
+                    1 if log_mode == "always" else 2) != 0:
+                lib.router_stop_free(self._h)
+                raise OSError(f"cannot open flight log {self.log_path}")
 
         def _ids(s: Optional[Set[int]]):
             if s is None:
@@ -254,6 +427,12 @@ class NativeRouter:
         if self._h is None:
             raise RuntimeError("router stopped")
         return int(self._lib.router_bound_port(self._h, self._idx[name]))
+
+    @property
+    def frames_logged(self) -> int:
+        if self._h is None or self.log_path is None:
+            return 0
+        return int(self._lib.router_frames_logged(self._h))
 
     def stop(self) -> None:
         if self._h:

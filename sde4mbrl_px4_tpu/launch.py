@@ -157,25 +157,32 @@ def launch_router(cfg: Dict[str, Any]):
     + ``sitl_route_mavlink.sh`` transport bring-up, SURVEY.md §2.8): a conf
     file in the mavlink-router dialect defines the endpoints/filters."""
     from sde4mbrl_px4_tpu.io.mavlink import load_native
-    from sde4mbrl_px4_tpu.io.router import NativeRouter, Router, parse_conf
+    from sde4mbrl_px4_tpu.io.router import (
+        NativeRouter, Router, parse_conf, parse_general,
+    )
 
     conf = cfg["conf"]
     if not os.path.isabs(conf):
         cand = [os.path.abspath(conf), os.path.join(cfg["_dir"], conf)]
         conf = next((c for c in cand if os.path.isfile(c)), cand[0])
     with open(conf) as f:
-        endpoints = parse_conf(f.read())
+        text = f.read()
+    endpoints = parse_conf(text)
+    general = parse_general(text)          # [General] Log / LogMode
     # Prefer the C++ core (the actual mavlink-routerd replacement: poll(2)
     # loop, no GIL on the forwarding path); the Python twin is the fallback
     # when the native library isn't built. Both are parity-tested.
     lib = load_native()
-    native = (lib is not None and hasattr(lib, "router_new")
+    native = (lib is not None and hasattr(lib, "router_set_log")
               and cfg.get("native", True))
-    router = (NativeRouter if native else Router)(endpoints)
+    router = (NativeRouter if native else Router)(
+        endpoints, log_dir=general.log_dir, log_mode=general.log_mode)
     router.start()
     print(f"[launch] router ({'native' if native else 'python'}) fanning "
           f"out {len(endpoints)} endpoints "
-          f"({', '.join(e.name for e in endpoints)})", flush=True)
+          f"({', '.join(e.name for e in endpoints)})"
+          + (f"; flight log -> {general.log_dir} ({general.log_mode})"
+             if general.log_dir else ""), flush=True)
     print("[launch] READY", flush=True)
     try:
         while True:

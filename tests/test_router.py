@@ -205,6 +205,147 @@ def test_parse_reference_hexa_conf_uart_ignored():
     assert eps[1].allow_in == {368} and eps[1].allow_out == {367}
 
 
+def _heartbeat(armed: bool, seq: int = 0) -> bytes:
+    """Minimal MAVLink v2 HEARTBEAT (msgid 0): custom_mode u32, type,
+    autopilot, base_mode (bit 0x80 = armed), system_status, version. The
+    router never validates CRC, so a placeholder CRC is fine."""
+    payload = bytes([0, 0, 0, 0, 2, 12, 0x80 if armed else 0x00, 4, 3])
+    hdr = bytes([0xFD, len(payload), 0, 0, seq & 0xFF, 1, 1, 0, 0, 0])
+    return hdr + payload + b"\x00\x00"
+
+
+def test_parse_general_logging_directives():
+    """[General] Log/LogMode parse (reference router_sitl.conf:27-28 ships
+    them commented — commented lines must stay inert)."""
+    from sde4mbrl_px4_tpu.io.router import parse_general
+
+    ref = "/root/reference/scripts/router_sitl.conf"
+    if os.path.exists(ref):
+        g = parse_general(open(ref).read())
+        assert g.log_dir is None            # commented out in the reference
+        assert g.log_mode == "while-armed"  # the default
+
+    g = parse_general(_REF_CONF + "\n\tLog = /tmp/fl\n\tLogMode = always\n")
+    assert g.log_dir == "/tmp/fl" and g.log_mode == "always"
+    with pytest.raises(ValueError, match="LogMode"):
+        parse_general("[General]\nLogMode = sometimes\n")
+
+
+@pytest.mark.parametrize("impl", ["py", "native"])
+def test_flight_log_parity_and_replay(impl, tmp_path):
+    """Log = <dir> (mode always): a routed burst lands in a .tlog in BOTH
+    implementations, with identical decoded message sequences, and every
+    frame replays through the live-view decoder (io/mavlink.decode_frame,
+    the same function tools/analyze.py --live feeds from)."""
+    from sde4mbrl_px4_tpu.io.router import NativeRouter, read_tlog
+
+    log_dir = str(tmp_path / impl)
+    fcu = Endpoint("PX4", "127.0.0.1", 0, mode="Server")
+    sink_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sink_sock.bind(("127.0.0.1", 0))
+    sink_sock.settimeout(1.0)
+    sink = Endpoint("MPC", "127.0.0.1", sink_sock.getsockname()[1],
+                    allow_in={368}, allow_out={367})
+    if impl == "native":
+        from sde4mbrl_px4_tpu.io.mavlink import load_native
+
+        lib = load_native()
+        if lib is None or not hasattr(lib, "router_set_log"):
+            pytest.skip("native router logging not built (make -C csrc)")
+        r = NativeRouter([fcu, sink], log_dir=log_dir, log_mode="always")
+        r.start()
+        fcu_port = r.bound_port("PX4")
+    else:
+        r = Router([fcu, sink], log_dir=log_dir, log_mode="always")
+        r.start()
+        fcu_port = fcu.bound_port
+
+    client = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sent = []
+    for k in range(20):
+        f = mav.encode_full_state(100 + k, np.full(13, 0.1 * k, np.float32),
+                                  seq=k)
+        client.sendto(f, ("127.0.0.1", fcu_port))
+        sent.append(("MPC_FULL_STATE", 100 + k))
+        sink_sock.recvfrom(512)            # routed through
+    # a reply from the MPC side is ALSO logged (accepted by AllowMsgIdIn)
+    cmd = mav.encode_motors_cmd(777, [0.7] * 4, [0.7, 0, 0, 0], 5, 100)
+    sink_sock.sendto(cmd, ("127.0.0.1", sink.bound_port if impl == "py"
+                           else r.bound_port("MPC")))
+    sent.append(("MPC_MOTORS_CMD", 777))
+    time.sleep(0.3)
+    r.stop()
+    client.close()
+    sink_sock.close()
+
+    logs = [f for f in os.listdir(log_dir) if f.endswith(".tlog")]
+    assert len(logs) == 1 and logs[0].startswith("00001-")
+    decoded = []
+    for t_usec, frame in read_tlog(os.path.join(log_dir, logs[0])):
+        assert t_usec > 1e15                # wall-clock µs, sane
+        msg = mav.decode_frame(frame)       # the --live decoder
+        assert msg is not None
+        decoded.append((msg.get_type(), int(msg.time_usec)))
+    assert decoded == sent
+
+
+def test_flight_log_while_armed_gating(tmp_path):
+    """LogMode = while-armed: frames before the armed HEARTBEAT are not
+    logged; frames between armed and disarmed are (both implementations)."""
+    from sde4mbrl_px4_tpu.io.router import FrameLog, read_tlog
+
+    path = str(tmp_path / "wa.tlog")
+    fl = FrameLog(path, mode="while-armed")
+    pre = mav.encode_full_state(1, np.zeros(13, np.float32))
+    fl.log(pre)                              # disarmed: dropped
+    fl.log(_heartbeat(True))                 # arms AND logs the heartbeat
+    mid = mav.encode_full_state(2, np.zeros(13, np.float32))
+    fl.log(mid)
+    fl.log(_heartbeat(False))                # disarms: dropped
+    fl.log(mav.encode_full_state(3, np.zeros(13, np.float32)))
+    fl.close()
+    got = [mav.decode_frame(f) for _, f in read_tlog(path)]
+    times = [int(m.time_usec) for m in got if m is not None]
+    assert times == [2]                      # only the armed-window state
+    assert fl.frames_logged == 2             # heartbeat + one state
+
+
+def test_native_while_armed_matches_twin(tmp_path):
+    """The C++ arm-gating decodes HEARTBEAT the same way the twin does."""
+    from sde4mbrl_px4_tpu.io.mavlink import load_native
+    from sde4mbrl_px4_tpu.io.router import NativeRouter, read_tlog
+
+    lib = load_native()
+    if lib is None or not hasattr(lib, "router_set_log"):
+        pytest.skip("native router logging not built (make -C csrc)")
+    log_dir = str(tmp_path / "nat")
+    fcu = Endpoint("PX4", "127.0.0.1", 0, mode="Server")
+    r = NativeRouter([fcu, Endpoint("sink", "127.0.0.1", 1)],
+                     log_dir=log_dir, log_mode="while-armed")
+    r.start()
+    port = r.bound_port("PX4")
+    cl = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    cl.sendto(mav.encode_full_state(1, np.zeros(13, np.float32)),
+              ("127.0.0.1", port))
+    cl.sendto(_heartbeat(True), ("127.0.0.1", port))
+    cl.sendto(mav.encode_full_state(2, np.zeros(13, np.float32)),
+              ("127.0.0.1", port))
+    cl.sendto(_heartbeat(False), ("127.0.0.1", port))
+    cl.sendto(mav.encode_full_state(3, np.zeros(13, np.float32)),
+              ("127.0.0.1", port))
+    deadline = time.time() + 3.0
+    while r.frames_logged < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    assert r.frames_logged == 2
+    r.stop()
+    cl.close()
+    logs = [f for f in os.listdir(log_dir) if f.endswith(".tlog")]
+    times = [int(m.time_usec)
+             for _, f in read_tlog(os.path.join(log_dir, logs[0]))
+             if (m := mav.decode_frame(f)) is not None]
+    assert times == [2]
+
+
 def test_native_router_safe_after_stop():
     """stats/bound_port after stop() must not touch the freed native handle
     (previously passed NULL into C and segfaulted)."""
