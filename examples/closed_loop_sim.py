@@ -155,6 +155,13 @@ def main():
     errs = []
     t_started = None
     recorder = FlightRecorder() if args.log else None
+    # Soak-grade health counters (VERDICT r2 item 5 gates): watchdog trips
+    # = MPC_ON -> MPC_TIMEOUT transitions after engagement (the onboard
+    # 20 ms staleness watchdog, reference basic_control.py:39); staleness =
+    # the time-indexed pickup depth into the plan during steady tracking.
+    watchdog_trips = 0
+    prev_status = fcu.status
+    max_pickup_idx = 0
     for k in range(n_steps):
         clock.t = plant.t
         x, t_usec = fcu.full_state_msg()
@@ -180,6 +187,11 @@ def main():
             # to 0.45 m, then tracks at +-0.03 m).
             if t_traj > 3.0:
                 errs.append(float(np.linalg.norm(plant.x[:3] - ref[:3])))
+                max_pickup_idx = max(max_pickup_idx, int(node._last_index))
+        if (prev_status == FCUSim.MPC_ON
+                and fcu.status == FCUSim.MPC_TIMEOUT):
+            watchdog_trips += 1
+        prev_status = fcu.status
         ref_now = None
         want_ref = recorder is not None or (args.verbose and k % 5 == 0)
         if want_ref and t_started is not None and node.ctrl.automata.run_trajectory:
@@ -211,11 +223,17 @@ def main():
           f"state={rec.ctrl_state} idx={rec.mpc_indx} fcu_status={fcu.status}")
     errs = np.asarray(errs) if errs else np.asarray([np.inf])
     print(f"tracking error over {len(errs)} ticks: "
-          f"mean={errs.mean():.3f}m max={errs.max():.3f}m")
+          f"mean={errs.mean():.3f}m max={errs.max():.3f}m; "
+          f"watchdog trips={watchdog_trips}, "
+          f"max pickup idx={max_pickup_idx}")
     if recorder is not None:
         recorder.save(args.log)
         print(f"flight log: {args.log} ({len(recorder)} records)")
     ok = errs.mean() < 0.35 and fcu.status == FCUSim.MPC_ON
+    if args.seconds >= 30:
+        # endurance-soak gates: zero watchdog trips during tracking and
+        # plan staleness <= 1 control index (docs/PERFORMANCE.md soak matrix)
+        ok = ok and watchdog_trips == 0 and max_pickup_idx <= 1
     print("RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

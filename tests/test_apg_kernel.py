@@ -55,6 +55,7 @@ def _solve_both(bundle_fixture, max_iter=10, x_off=(0.3, 0.2), sc_cfg=None,
     return st_x, st_p
 
 
+@pytest.mark.slow
 def test_mega_solve_parity_traj(iris_traj_bundle):
     st_x, st_p = _solve_both(iris_traj_bundle, max_iter=10)
     assert int(st_p.num_steps) == int(st_x.num_steps)
@@ -78,6 +79,7 @@ def test_mega_solve_parity_posctrl_with_slew(iris_pos_bundle):
     assert float(st_p.opt_cost) == pytest.approx(float(st_x.opt_cost), rel=5e-4)
 
 
+@pytest.mark.slow
 def test_mega_solve_state_constraints(iris_pos_bundle):
     sc = {
         "state_id": [3, 4, 5],
@@ -93,6 +95,7 @@ def test_mega_solve_state_constraints(iris_pos_bundle):
                                rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_mega_solve_particles(iris_traj_bundle):
     """P=4 Monte-Carlo paths through the mega-kernel."""
     st_x, st_p = _solve_both(iris_traj_bundle, max_iter=5, num_particles=4)

@@ -193,6 +193,7 @@ def test_repl_completion():
     save()
 
 
+@pytest.mark.slow
 def test_preflight_passes(repo_root):
     """tools/preflight.py: the deployment-host check passes on this tree."""
     import subprocess

@@ -51,6 +51,7 @@ def _replay(cfg_paths, seed=0):
     return np.stack(cmds)
 
 
+@pytest.mark.slow
 def test_engine_replay_determinism(cfg_paths):
     a = _replay(cfg_paths, seed=0)
     b = _replay(cfg_paths, seed=0)

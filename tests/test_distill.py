@@ -114,6 +114,7 @@ def test_solver_policy_rejects_prox_slack(small_cfg):
         make_mpc_from_config(cfg)
 
 
+@pytest.mark.slow
 def test_distillation_learns_expert(small_cfg):
     """End-to-end: sample → converged-APG labels → train. The trained policy
     must (a) cut the supervised loss and (b) beat the untrained hover policy
@@ -150,6 +151,7 @@ def test_distillation_learns_expert(small_cfg):
     assert err < err_hover, (err, err_hover)
 
 
+@pytest.mark.slow
 def test_label_states_mesh_matches_unsharded(small_cfg):
     """Mesh-sharded labeling == plain vmap labeling (same expert, same
     rngs), including a batch that does NOT divide the dp axis (padded)."""

@@ -32,6 +32,7 @@ def _tiny_cfg(repo_root):
 
 
 @pytest.mark.timeout(600)
+@pytest.mark.slow
 def test_two_process_mesh_matches_single_process(repo_root, tmp_path):
     cfg = _tiny_cfg(repo_root)
     cfg_yaml = tmp_path / "pos.yaml"
@@ -96,6 +97,7 @@ def test_two_process_mesh_matches_single_process(repo_root, tmp_path):
 
 
 @pytest.mark.timeout(600)
+@pytest.mark.slow
 def test_two_process_fleet_matches_single_process(repo_root, tmp_path):
     """FleetEngine over a 2-process mesh: each host steps its local half of
     the fleet; the closed-loop states must match the single-process fleet."""

@@ -164,6 +164,7 @@ def test_service_channel_over_udp(node):
         cli.close()
 
 
+@pytest.mark.slow
 def test_pipelined_controller_matches_sync_shifted(repo_root, tmp_path):
     """pipeline=True publishes plan k-1 at call k with plan k-1's own
     sample stamp; the solve chain itself is identical to sync mode."""

@@ -22,6 +22,7 @@ def fleet(repo_root):
     return FleetEngine(cfg, mesh, batch=8, seed=0)
 
 
+@pytest.mark.slow
 def test_fleet_tracks_per_vehicle_targets(repo_root):
     """8 vehicles with distinct setpoints all converge toward their own
     targets under closed-loop fleet stepping.

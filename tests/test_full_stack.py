@@ -29,6 +29,7 @@ def _tiny_cfg(repo_root, with_traj):
     return cfg
 
 
+@pytest.mark.slow
 def test_routed_stack_engages_mpc(repo_root, iris_model, tmp_path):
     """States flow plant -> router -> engine; commands flow back through
     the router's AllowMsgIdIn filter; the FCU engages (MPC_ON) and the

@@ -65,6 +65,7 @@ def test_dataset_too_short_raises():
         TrajectoryDataset(np.arange(3.0), np.zeros((3, 13)), np.zeros((3, 4)), 8)
 
 
+@pytest.mark.slow
 def test_kstep_errors_ranks_models(true_and_init):
     """learning/evaluate.kstep_errors: the true model predicts its own data
     far better than a mis-identified one, and error grows with k."""
@@ -140,6 +141,7 @@ def _run_isolated(test_name: str) -> None:
 _INNER = os.environ.get("SDE4MBRL_TEST_INNER") == "1"
 
 
+@pytest.mark.slow
 def test_training_reduces_loss(true_and_init):
     if not _INNER:
         _run_isolated("test_training_reduces_loss")
@@ -157,6 +159,7 @@ def test_training_reduces_loss(true_and_init):
     assert loss_after < loss_before - 0.1, (loss_before, loss_after)
 
 
+@pytest.mark.slow
 def test_training_improves_prediction(true_and_init):
     if not _INNER:
         _run_isolated("test_training_improves_prediction")

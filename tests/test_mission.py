@@ -47,6 +47,7 @@ def test_offboard_pushes_setpoints(mission):
     assert not ctl.stop_offboard_mode
 
 
+@pytest.mark.slow
 def test_takeoff_reaches_altitude(mission):
     ctl, veh, _ = mission
     ctl.takeoff(z=1.0)
@@ -55,6 +56,7 @@ def test_takeoff_reaches_altitude(mission):
     assert veh.position()[2] == pytest.approx(1.0, abs=0.25)
 
 
+@pytest.mark.slow
 def test_pos_moves_vehicle(mission):
     ctl, veh, _ = mission
     ctl.takeoff(z=1.0)
@@ -65,6 +67,7 @@ def test_pos_moves_vehicle(mission):
     np.testing.assert_allclose(p, [1.0, 0.5, 1.0], atol=0.35)
 
 
+@pytest.mark.slow
 def test_relpos(mission):
     ctl, veh, _ = mission
     ctl.takeoff(z=1.0)
@@ -75,6 +78,7 @@ def test_relpos(mission):
     assert veh.position()[0] - p0[0] == pytest.approx(0.5, abs=0.3)
 
 
+@pytest.mark.slow
 def test_safety_box_triggers(mission):
     ctl, veh, logs = mission
     ctl.takeoff(z=1.0)
@@ -97,6 +101,7 @@ def test_rm_box(mission):
     assert not ctl.security_check and ctl.safe_box is None
 
 
+@pytest.mark.slow
 def test_land(mission):
     ctl, veh, _ = mission
     ctl.takeoff(z=1.0)

@@ -109,6 +109,7 @@ def test_prox_kernel_parity(prox_cfg, iris_pos_bundle):
                                atol=5e-5)
 
 
+@pytest.mark.slow
 def test_prox_mega_solve_parity(prox_cfg, iris_pos_bundle):
     """Whole-solve mega-kernel matches XLA apg_solve on the augmented
     problem."""

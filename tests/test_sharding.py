@@ -42,6 +42,7 @@ def test_best_mesh_shape():
     assert dp * mc == 8 and 8 % mc == 0
 
 
+@pytest.mark.slow
 def test_batched_dp_equals_individual_solves(small_cfg):
     """Each scenario's sharded solve == its standalone solve."""
     from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
@@ -76,6 +77,7 @@ def test_batched_dp_equals_individual_solves(small_cfg):
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_particle_sharded_equals_unsharded(small_cfg):
     """PRNG parity: sharding the MC particle axis over the mesh must not
     change the sampled Brownian paths, hence not the solve."""
