@@ -202,3 +202,32 @@ def test_ulog_ref_column_is_nan(tmp_path):
     flight_log_to_ulog(log, p)
     back = ulog_to_flight_log(p)
     assert np.isnan(back["ref"]).all()
+
+
+def test_committed_layout_matches_exported_topics(tmp_path):
+    """The shipped PlotJuggler layout (configs/layouts/pj_mpc_tracking.xml,
+    our analogue of the reference's committed dashboards) references only
+    topics/fields that flight_log_to_ulog actually exports — a layout that
+    opens empty is a broken asset."""
+    import xml.etree.ElementTree as ET
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    layout = os.path.join(root, "configs", "layouts", "pj_mpc_tracking.xml")
+    tree = ET.parse(layout)                      # well-formed XML
+    curves = [c.get("name") for c in tree.iter("curve")]
+    curves += [c.get("curve_x") for c in tree.iter("curve")
+               if c.get("curve_x")]
+    assert len(set(curves)) >= 15
+
+    p = str(tmp_path / "layout_check.ulg")
+    flight_log_to_ulog(_mklog(), p)
+    data = read_ulog(p)["data"]
+    for ref in curves:
+        topic, field = ref.split("/", 1)
+        assert topic in data, f"layout topic {topic} not exported"
+        if "." in field:                         # array field: xyz.01
+            base, idx = field.rsplit(".", 1)
+            col = data[topic][base]
+            assert col.ndim == 2 and col.shape[1] > int(idx), ref
+        else:
+            assert field in data[topic], ref
