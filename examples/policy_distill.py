@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--expert-iters", type=int, default=300)
     ap.add_argument("--dagger-rounds", type=int, default=1)
+    ap.add_argument("--dagger-rollouts", type=int, default=32)
+    ap.add_argument("--hidden", type=int, nargs="+", default=[256, 256])
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seconds", type=float, default=8.0)
     ap.add_argument("--outdir", default="/tmp/policy_ckpts")
     args = ap.parse_args()
@@ -95,6 +98,8 @@ def main():
             n_states=args.n_states, steps=args.steps,
             expert_max_iter=args.expert_iters,
             dagger_rounds=args.dagger_rounds,
+            dagger_rollouts=args.dagger_rollouts,
+            hidden=tuple(args.hidden), lr=args.lr,
         )
         print(f"== distilling {kind} expert ({args.n_states} states, "
               f"{args.expert_iters}-iter labels) ==", flush=True)

@@ -298,7 +298,14 @@ def train_policy(
     meta = {k: v for k, v in params.items() if k != "net"}
     net = params["net"]
 
-    tx = optax.adamw(dcfg.lr, weight_decay=dcfg.weight_decay)
+    # Warmup + cosine decay to ~1% of peak: a constant lr leaves the loss
+    # bouncing at the noise floor of the peak step size, and the u[0]
+    # precision the flight consumes is made of exactly that floor.
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=dcfg.lr * 0.1, peak_value=dcfg.lr,
+        warmup_steps=max(10, dcfg.steps // 50),
+        decay_steps=dcfg.steps, end_value=dcfg.lr * 0.01)
+    tx = optax.adamw(sched, weight_decay=dcfg.weight_decay)
     opt_state = tx.init(net)
 
     def loss_fn(nn, f, yy):
