@@ -45,6 +45,13 @@ reference-parity behavior):
 - ``solver: policy`` + ``policy: {params_path, hidden}`` — amortized
   one-shot plan network distilled from converged APG solves
   (models/policy.py + learning/distill.py);
+- ``policy: {refine_iters: N}`` — the hybrid: the network seeds COLD
+  starts (straight after reset), the shifted previous plan seeds steady
+  solves, and N APG iterations polish either (measured frontier on the
+  lemniscate, chained mean-dynamics: shift+3 iters 0.027 m, shift+10
+  0.014 m, full 200-budget 0.005 m; pure policy 0.058 m — so the network
+  buys the engagement transient and fleet batch serving, the iteration
+  budget buys steady-state tracking);
 - ``pallas_chunk: N`` — force the in-kernel chunked particle path;
 - env ``SDE4MBRL_PALLAS=0/1`` / ``SDE4MBRL_MEGA=0`` (or the
   ``make_mpc_from_config(use_pallas=...)`` argument) — kernel routing
@@ -324,6 +331,22 @@ def make_mpc_from_config(
                 hidden=tuple(pol_block.get("hidden", (256, 256)))))
         _policy_apply = _policy_mod.policy_apply
         _policy_featurize = _policy_mod.featurize
+        # ``policy: {refine_iters: N}`` — the amortized-init solver family:
+        # the plan network's output becomes the APG warm start and N (small)
+        # APG iterations polish it. Buys back the distillation gap (policy
+        # u[0] noise is a few % of the motor span) for a few iterations'
+        # latency instead of the full 200-iteration budget; N=0 (default)
+        # keeps the pure one-shot policy.
+        policy_refine = int(pol_block.get("refine_iters", 0) or 0)
+        if policy_refine < 0:
+            raise ValueError(f"policy.refine_iters must be >= 0, got "
+                             f"{policy_refine}")
+        if policy_refine:
+            apg_cfg = apg_cfg._replace(
+                max_iter=policy_refine,
+                max_no_improvement_iter=policy_refine)
+    else:
+        policy_refine = 0
     if solver_kind == "mppi" and (num_particles > 1
                                   or mppi_cfg.samples > 128):
         # (routing below; the fused BATCH oracle serves MPPI when its K
@@ -334,12 +357,15 @@ def make_mpc_from_config(
         # Measured: K=64 via the kernel oracle is 1.0 ms/solve chained
         # with closed-loop tracking BETTER than K=256 XLA (3.4 ms).
         use_pallas = False
-    if solver_kind == "policy":
+    if solver_kind == "policy" and not policy_refine:
         use_pallas = False
-    # Whole-solve mega-kernel (opt-out via SDE4MBRL_MEGA=0) — APG only;
-    # MPPI uses the kernel BATCH oracle instead (value_batch over its K
-    # candidates).
-    use_mega = (bool(use_pallas) and solver_kind == "apg"
+    # Whole-solve mega-kernel (opt-out via SDE4MBRL_MEGA=0) — APG only
+    # (including the policy+refine_iters hybrid, whose refinement IS a
+    # short APG solve from the amortized warm start); MPPI uses the kernel
+    # BATCH oracle instead (value_batch over its K candidates).
+    use_mega = (bool(use_pallas)
+                and (solver_kind == "apg"
+                     or (solver_kind == "policy" and policy_refine))
                 and os.environ.get("SDE4MBRL_MEGA", "1") not in (
                     "0", "false", "False"))
 
@@ -437,6 +463,25 @@ def make_mpc_from_config(
         x_ref = _build_ref(curr_t, xdes)
         u_prev = opt_state.yk[0]
 
+        # Amortized init: the plan network runs FIRST (u_prev must be the
+        # previously commanded control, read above, before any substitute).
+        # With refine_iters the plan seeds the short APG solve below (mega
+        # kernel or XLA path, unchanged machinery) — but ONLY on a cold
+        # start (num_steps == 0, i.e. straight after reset_fn): in the
+        # steady receding-horizon regime the SHIFTED previous plan is the
+        # better initializer (measured on the lemniscate: shift+3-iter APG
+        # tracks 0.027 m where policy+3-iter tracks 0.055 m — the network
+        # buys the engagement transient, the shift owns steady state).
+        u_plan = None
+        if solver_kind == "policy":
+            u_plan = _policy_apply(
+                policy_net, _policy_featurize(x, x_ref, u_prev[:n_u]),
+                lb, ub)
+            if policy_refine:
+                is_cold = opt_state.num_steps == 0
+                opt_state = opt_state._replace(
+                    yk=jnp.where(is_cold, u_plan, opt_state.yk))
+
         # Receding-horizon warm-start shift (shared by BOTH solver paths —
         # "repeat" is the parity default, "extrapolate" the config option).
         def _shift(z_opt):
@@ -529,15 +574,12 @@ def make_mpc_from_config(
                 return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev[:n_u],
                                s_seq=s_seq)
 
-        if solver_kind == "policy":
-            # One forward pass IS the solve. The cost evaluation below is
-            # telemetry only (init_cost/opt_cost observability fields,
-            # ``msg/OptMPCState.msg:15-22`` semantics) — with no iterations
-            # there is no before/after pair, so both report the plan's cost.
-            u_plan = _policy_apply(
-                policy_net,
-                _policy_featurize(x, x_ref, u_prev[:n_u]),
-                lb, ub)
+        if solver_kind == "policy" and not policy_refine:
+            # One forward pass IS the solve (u_plan computed above). The
+            # cost evaluation below is telemetry only (init_cost/opt_cost
+            # observability fields, ``msg/OptMPCState.msg:15-22``
+            # semantics) — with no iterations there is no before/after
+            # pair, so both report the plan's cost.
             c_plan = seq_cost(u_plan)
             z = jnp.float32(0.0)
             st = APGState(

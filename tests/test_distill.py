@@ -100,6 +100,41 @@ def test_solver_policy_contract(small_cfg):
     assert sol2.u_opt.shape == (H, n_u)
 
 
+def test_policy_refine_contract(small_cfg):
+    """``policy: {refine_iters: N}`` — amortized init + short APG polish:
+    num_steps reports the refinement iterations, commands stay in the box,
+    and the warm start is cold-gated (first solve seeds from the network,
+    steady solves from the shifted previous plan)."""
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+
+    cfg = dict(small_cfg)
+    cfg["solver"] = "policy"
+    cfg["policy"] = {"hidden": [32], "refine_iters": 4}
+    _, (reset_fn, mpc_fn), _, bundle = make_mpc_from_config(cfg)
+    x = jnp.asarray(hover_state()).at[0].add(1.0)
+    tgt = jnp.asarray(hover_state())
+    rng = jax.random.PRNGKey(0)
+    st = reset_fn(x, rng, x)
+    assert float(st.num_steps) == 0.0            # cold
+    jm = jax.jit(mpc_fn)
+    sol = jm(x, rng, st, 0.0, tgt)
+    assert float(sol.opt_state.num_steps) == 4.0  # refinement iterations ran
+    u = np.asarray(sol.u_opt)
+    assert (u >= np.asarray(bundle.lb) - 1e-6).all()
+    assert (u <= np.asarray(bundle.ub) + 1e-6).all()
+    # refinement improves on the network's plan (cost telemetry decreases)
+    assert float(sol.opt_state.opt_cost) <= float(sol.opt_state.init_cost)
+    # second solve consumes the shifted warm start, same shapes, no retrace
+    sol2 = jm(sol.x_evol[1], sol.rng, sol.opt_state, 0.0, tgt)
+    assert sol2.u_opt.shape == sol.u_opt.shape
+
+    cfg_bad = dict(small_cfg)
+    cfg_bad["solver"] = "policy"
+    cfg_bad["policy"] = {"refine_iters": -1}
+    with pytest.raises(ValueError, match="refine_iters"):
+        make_mpc_from_config(cfg_bad)
+
+
 def test_solver_policy_rejects_prox_slack(small_cfg):
     from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
 
@@ -149,6 +184,33 @@ def test_distillation_learns_expert(small_cfg):
     hover = jnp.broadcast_to(bundle.cost_params.uref, labels[n_tr:, 0].shape)
     err_hover = float(jnp.mean(jnp.abs(hover - labels[n_tr:, 0])))
     assert err < err_hover, (err, err_hover)
+
+    # A TRAINED checkpoint serves through the refine_iters hybrid: the
+    # cold first solve seeds from the network's plan (init_cost is the
+    # network plan's cost) and the short polish only improves it. (Whether
+    # the network init beats hover is not decidable at this toy horizon —
+    # a 0.3 s lookahead barely moves the horizon cost; the closed-loop
+    # frontier is measured in engine/mpc_loader.py and
+    # examples/policy_distill.py instead.)
+    from sde4mbrl_px4_tpu.learning.distill import save_policy
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = os.path.join(td, "pol.pkl")
+        save_policy(ckpt, jax.tree.map(np.asarray, params))
+        cfg_pol = dict(cfg)
+        cfg_pol["solver"] = "policy"
+        cfg_pol["policy"] = {"params_path": ckpt, "refine_iters": 2,
+                             "hidden": list(dcfg.hidden)}
+        _, (reset_p, mpc_p), _, _ = make_mpc_from_config(cfg_pol)
+        x0 = jnp.asarray(hover_state()).at[0:3].add(
+            jnp.asarray([1.0, -0.7, 0.4]))
+        tgt = jnp.asarray(hover_state())
+        rng = jax.random.PRNGKey(9)
+        sp = mpc_p(x0, rng, reset_p(x0, rng, x0), 0.0, xdes=tgt)
+        assert float(sp.opt_state.num_steps) == 2.0
+        assert (float(sp.opt_state.opt_cost)
+                <= float(sp.opt_state.init_cost) + 1e-6)
 
 
 @pytest.mark.slow
