@@ -40,9 +40,14 @@ def main():
                          "the sampling MPPI twin (solver/mppi.py), or the "
                          "distilled one-shot policy (models/policy.py; "
                          "train checkpoints first with policy_distill.py)")
-    ap.add_argument("--policy-dir", default="/tmp/policy_ckpts",
-                    help="where policy_distill.py saved "
-                         "<vehicle>_{traj,posctrl}_policy.pkl")
+    ap.add_argument("--policy-dir", default=None,
+                    help="dir with <vehicle>_{traj,posctrl}_policy.pkl "
+                         "(as saved by policy_distill.py); default: the "
+                         "shipped checkpoints in configs/models")
+    ap.add_argument("--refine-iters", type=int, default=0,
+                    help="with --solver policy: APG polish iterations per "
+                         "solve (policy.refine_iters — amortized cold-start "
+                         "init + short refinement)")
     ap.add_argument("--vehicle", default="iris", choices=("iris", "hexa"),
                     help="airframe: picks configs/<vehicle>_{traj,posctrl}"
                          "_mpc.yaml and the matching model checkpoint")
@@ -89,13 +94,16 @@ def main():
             c["solver"] = args.solver
             if args.solver == "policy":
                 kind = "traj" if src == traj_cfg else "posctrl"
-                ckpt = os.path.join(args.policy_dir,
+                pol_dir = args.policy_dir or os.path.join(
+                    here, "configs", "models")
+                ckpt = os.path.join(pol_dir,
                                     f"{args.vehicle}_{kind}_policy.pkl")
                 if not os.path.exists(ckpt):
                     print(f"missing {ckpt} — run examples/policy_distill.py "
                           f"first to train the checkpoints", file=sys.stderr)
                     return 1
-                c["policy"] = {"params_path": ckpt}
+                c["policy"] = {"params_path": ckpt,
+                               "refine_iters": args.refine_iters}
             dst = os.path.join(tmpdir.name, os.path.basename(src))
             _yaml.safe_dump({k: v for k, v in c.items()
                              if not k.startswith("_")}, open(dst, "w"))

@@ -40,7 +40,9 @@ def main():
                     help="per-vehicle solver family (mppi = sampling twin; "
                          "policy = distilled one-shot network — train with "
                          "examples/policy_distill.py first)")
-    ap.add_argument("--policy-dir", default="/tmp/policy_ckpts")
+    ap.add_argument("--policy-dir", default=None,
+                    help="dir with <vehicle>_{traj,posctrl}_policy.pkl; "
+                         "default: the shipped checkpoints in configs/models")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -71,7 +73,8 @@ def main():
         if args.iters != 100:
             cfg["mppi"] = {"iters": args.iters}
     elif args.solver == "policy":
-        ckpt = os.path.join(args.policy_dir, "iris_posctrl_policy.pkl")
+        pol_dir = args.policy_dir or os.path.join(here, "configs", "models")
+        ckpt = os.path.join(pol_dir, "iris_posctrl_policy.pkl")
         if not os.path.exists(ckpt):
             print(f"missing {ckpt} — run examples/policy_distill.py first",
                   file=sys.stderr)
