@@ -337,13 +337,33 @@ def _bench_particles(here, _log, P=1024, n_steps=110):
     from sde4mbrl_px4_tpu.io.config import load_yaml_config
     from sde4mbrl_px4_tpu.core.frames import enu2ned
 
-    cfg = load_yaml_config(os.path.join(here, "configs", "iris_traj_mpc.yaml"))
-    cfg["num_particles"] = P
+    base = load_yaml_config(os.path.join(here, "configs", "iris_traj_mpc.yaml"))
     # Full reference iteration budget (max_iter 200 with atol/rtol early
     # exit, reference iris_sitl_traj_mpc.yaml:60); steps actually executed
     # are reported — warm-started receding-horizon solves converge early,
     # which IS the flight workload.
-    cfg["apg_mpc"]["max_iter"] = 200
+    base["apg_mpc"]["max_iter"] = 200
+    out = {}
+    # Two operating points: P iid paths (the literal BASELINE config-4
+    # workload) and P/2 antithetic pairs = P paths with LOWER estimator
+    # variance (docs/PERFORMANCE.md: 512 antithetic beats 1024 iid by
+    # 7.7x) at half the rollout compute — the recommended flight config.
+    for tag, mut in (
+        (f"p{P}", {"num_particles": P}),
+        (f"p{P // 2}x2anti", {"num_particles": P // 2, "antithetic": True}),
+    ):
+        cfg = dict(base)
+        cfg.update(mut)
+        out.update(_particles_percentiles(here, _log, cfg, tag, n_steps))
+    return out
+
+
+def _particles_percentiles(here, _log, cfg, tag, n_steps):
+    import jax
+    import jax.numpy as jnp
+    from sde4mbrl_px4_tpu.engine.mpc_loader import make_mpc_from_config
+    from sde4mbrl_px4_tpu.core.frames import enu2ned
+
     cfg, (reset_fn, mpc_fn), sft, _ = make_mpc_from_config(dict(cfg))
     dt = float(cfg["_time_steps"][0])
     T0 = 3.0
@@ -378,14 +398,17 @@ def _bench_particles(here, _log, P=1024, n_steps=110):
         time.sleep(max(0.0, dt - busy))
     lat = np.asarray(lat)
     p50, p99 = np.percentile(lat, 50), np.percentile(lat, 99)
-    _log(f"{P}-particle uncertainty solves over {n_steps} lemniscate steps "
-         f"(200-iter budget, steps/solve mean {np.mean(steps_seen):.1f} "
-         f"max {np.max(steps_seen):.0f}): per-call busy p50={p50*1e3:.1f}ms "
-         f"p99={p99*1e3:.1f}ms vs 50 ms budget "
-         f"({'PASS' if p99 < 0.050 else 'OVER'})")
-    return {"p1024_percall_p50_ms": round(float(p50) * 1e3, 1),
-            "p1024_percall_p99_ms": round(float(p99) * 1e3, 1),
-            "p1024_steps_mean": round(float(np.mean(steps_seen)), 1)}
+    P_eff = int(cfg.get("num_particles", 1)) * (
+        2 if cfg.get("antithetic") else 1)
+    _log(f"{tag} ({P_eff} sampled paths/solve) uncertainty solves over "
+         f"{n_steps} lemniscate steps (200-iter budget, steps/solve mean "
+         f"{np.mean(steps_seen):.1f} max {np.max(steps_seen):.0f}): "
+         f"per-call busy p50={p50*1e3:.1f}ms p99={p99*1e3:.1f}ms vs 50 ms "
+         f"budget ({'PASS' if p99 < 0.050 else 'OVER'}; per-call includes "
+         f"the tunnel's ~30 ms prev-plan fetch floor on this harness)")
+    return {f"{tag}_percall_p50_ms": round(float(p50) * 1e3, 1),
+            f"{tag}_percall_p99_ms": round(float(p99) * 1e3, 1),
+            f"{tag}_steps_mean": round(float(np.mean(steps_seen)), 1)}
 
 
 def _bench_mppi(here, _log, K=20):
