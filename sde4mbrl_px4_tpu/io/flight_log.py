@@ -17,7 +17,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["FlightRecorder", "load_flight_log"]
+__all__ = ["FlightRecorder", "load_flight_log", "tlog_to_flight_log"]
 
 _FIELDS = ("t", "state", "cmd_motors", "cmd_thrust_rates", "ref", "mpc_on",
            "weight_motors", "solve_time", "num_steps", "opt_cost", "mpc_indx")
@@ -77,3 +77,35 @@ class FlightRecorder:
 def load_flight_log(path: str) -> Dict[str, np.ndarray]:
     d = np.load(os.path.expanduser(path))
     return {k: d[k] for k in d.files}
+
+
+def tlog_to_flight_log(path: str) -> Dict[str, np.ndarray]:
+    """Decode a router flight log (``.tlog``, io/router.py Log/LogMode)
+    into the framework flight-log schema.
+
+    Rows follow the MPC_FULL_STATE stream (the vehicle's own time base,
+    ``time_usec``); the command columns sample-and-hold the latest
+    MPC_MOTORS_CMD seen before each state — exactly how the FCU applies
+    them (ZOH between commands, ``sim/plant.py``)."""
+    from sde4mbrl_px4_tpu.io.mavlink import decode_frame
+    from sde4mbrl_px4_tpu.io.router import read_tlog
+
+    rec = FlightRecorder()
+    last_cmd = None
+    for _t_wall, frame in read_tlog(path):
+        msg = decode_frame(frame)
+        if msg is None:
+            continue
+        if msg.get_type() == "MPC_MOTORS_CMD":
+            last_cmd = msg
+            continue
+        kw = {}
+        if last_cmd is not None:
+            kw = dict(cmd_motors=last_cmd.motor_val_des,
+                      cmd_thrust_rates=last_cmd.thrust_and_angrate_des,
+                      mpc_on=int(last_cmd.mpc_on),
+                      weight_motors=int(last_cmd.weight_motors))
+        rec.record(msg.time_usec * 1e-6, msg.state, **kw)
+    if not len(rec):
+        raise ValueError(f"{path}: no decodable MPC_FULL_STATE frames")
+    return rec.arrays()

@@ -363,3 +363,43 @@ def test_native_router_safe_after_stop():
     with pytest.raises(RuntimeError):
         r.bound_port("a")
     r.stop()  # idempotent
+
+
+def test_tlog_to_flight_log_and_render(tmp_path):
+    """Router flight logs feed the SAME analysis pipeline as npz/ulg: the
+    .tlog decodes into the flight-log schema (states on the vehicle time
+    base, commands sample-and-held) and tools/analyze.py renders it."""
+    from sde4mbrl_px4_tpu.io.router import FrameLog
+    from sde4mbrl_px4_tpu.io.flight_log import tlog_to_flight_log
+
+    path = str(tmp_path / "flight.tlog")
+    fl = FrameLog(path, mode="always")
+    for k in range(30):
+        if k == 10:
+            fl.log(mav.encode_motors_cmd(
+                10_000_000, [0.6] * 4, [0.6, 0.1, -0.1, 0.0], 5, 100))
+        st = np.zeros(13, np.float32)
+        st[0] = 0.1 * k
+        st[6] = 1.0
+        fl.log(mav.encode_full_state(int(1e6 * (1 + 0.02 * k)), st, seq=k))
+    fl.close()
+
+    d = tlog_to_flight_log(path)
+    assert d["state"].shape == (30, 13)
+    np.testing.assert_allclose(d["t"][0], 1.0, atol=1e-6)
+    # commands before the first MPC_MOTORS_CMD are zero, held afterwards
+    assert np.all(d["cmd_motors"][:10] == 0.0)
+    np.testing.assert_allclose(d["cmd_motors"][10:, :4], 0.6, atol=1e-6)
+    assert np.all(d["mpc_on"][10:] == 5)
+
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "flight.png")
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "analyze.py"),
+         path, "-o", out],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert os.path.exists(out)

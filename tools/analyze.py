@@ -197,7 +197,7 @@ def render_scene(d: dict, out_png: str) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("log", nargs="?", default=None,
-                    help=".npz flight log (post-hoc mode)")
+                    help="flight log: .npz (framework), .ulg (PX4), or .tlog (router Log=) — post-hoc mode")
     ap.add_argument("--live", default=None, metavar="HOST:PORT",
                     help="bind a UDP MAVLink endpoint and stream the "
                          "commanded-vs-achieved overlay live")
@@ -236,6 +236,11 @@ def analyze(log_path: str, out: str, scene: bool = False):
         from sde4mbrl_px4_tpu.io.ulog import ulog_to_flight_log
 
         d = ulog_to_flight_log(log_path)
+    elif log_path.endswith(".tlog"):
+        # router flight logs ([General] Log/LogMode, io/router.py)
+        from sde4mbrl_px4_tpu.io.flight_log import tlog_to_flight_log
+
+        d = tlog_to_flight_log(log_path)
     else:
         from sde4mbrl_px4_tpu.io.flight_log import load_flight_log
 
