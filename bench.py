@@ -165,7 +165,9 @@ def main():
     out["startup_s"] = round(float(startup_s), 1)
     out["tunnel_first_fetch_s"] = round(float(first_fetch_s), 1)
     if chip_rate is not None:
-        gf = _achieved_gflops(cfg, float(sol.opt_state.num_steps), chip_rate)
+        # steps_per_solve from the SAME pinned chained workload as
+        # chip_rate (the blocking loop above measures a different window)
+        gf = _achieved_gflops(cfg, float(steps_per_solve), chip_rate)
         out["achieved_gflops"] = round(gf, 1)
         _log(f"achieved compute: {gf:.1f} GFLOP/s on-device "
              "(workload is op-issue-latency bound: the model is 3 tiny "
@@ -345,12 +347,14 @@ def _bench_particles(here, _log, P=1024, n_steps=110):
     base["apg_mpc"]["max_iter"] = 200
     out = {}
     # Two operating points: P iid paths (the literal BASELINE config-4
-    # workload) and P/2 antithetic pairs = P paths with LOWER estimator
-    # variance (docs/PERFORMANCE.md: 512 antithetic beats 1024 iid by
-    # 7.7x) at half the rollout compute — the recommended flight config.
+    # workload) and P/2 ANTITHETIC paths (256 mirrored pairs = 512 paths
+    # total — draw_brownian returns exactly num_particles paths) with
+    # LOWER estimator variance than the 1024 iid set
+    # (docs/PERFORMANCE.md: 512 antithetic beats 1024 iid by 7.7x) at
+    # half the rollout compute — the recommended flight operating point.
     for tag, mut in (
         (f"p{P}", {"num_particles": P}),
-        (f"p{P // 2}x2anti", {"num_particles": P // 2, "antithetic": True}),
+        (f"p{P // 2}anti", {"num_particles": P // 2, "antithetic": True}),
     ):
         cfg = dict(base)
         cfg.update(mut)
@@ -384,7 +388,8 @@ def _particles_percentiles(here, _log, cfg, tag, n_steps):
         if prev is not None:
             x_evol, n_st = jax.device_get((prev.x_evol, prev.opt_state.num_steps))
             x_host = jnp.asarray(x_evol[1])
-            steps_seen.append(float(n_st))
+            if k >= n_warm:           # steady workload only, like lat
+                steps_seen.append(float(n_st))
         else:
             x_host = x
         cur = jm(x_host, sol.rng, sol.opt_state, jnp.float32(t), x_host)
@@ -398,9 +403,10 @@ def _particles_percentiles(here, _log, cfg, tag, n_steps):
         time.sleep(max(0.0, dt - busy))
     lat = np.asarray(lat)
     p50, p99 = np.percentile(lat, 50), np.percentile(lat, 99)
-    P_eff = int(cfg.get("num_particles", 1)) * (
-        2 if cfg.get("antithetic") else 1)
-    _log(f"{tag} ({P_eff} sampled paths/solve) uncertainty solves over "
+    P_eff = int(cfg.get("num_particles", 1))   # paths actually rolled
+    _log(f"{tag} ({P_eff} sampled paths/solve"
+         f"{', antithetic pairs' if cfg.get('antithetic') else ''}) "
+         f"uncertainty solves over "
          f"{n_steps} lemniscate steps (200-iter budget, steps/solve mean "
          f"{np.mean(steps_seen):.1f} max {np.max(steps_seen):.0f}): "
          f"per-call busy p50={p50*1e3:.1f}ms p99={p99*1e3:.1f}ms vs 50 ms "

@@ -66,12 +66,19 @@ int msg_id(const uint8_t* b, int n) {
 
 // HEARTBEAT arm bit: base_mode is payload byte 6, MAV_MODE_FLAG_SAFETY_ARMED
 // = 0x80. v2 zero-trims trailing payload bytes (missing byte => disarmed).
+// Only the AUTOPILOT's heartbeat (compid 1) gates the arm state — a GCS
+// heartbeat reports its own (unarmed) base_mode and must not disarm the
+// log mid-flight (parity with io/router.py _heartbeat_armed).
 void log_frame(RRouter* r, int mid, const uint8_t* buf, int n) {
     if (mid == 0) {
         int off = (buf[0] == 0xFD) ? 10 : 6;
+        int compid = (buf[0] == 0xFD) ? buf[6] : buf[4];
         int plen = buf[1];
-        r->armed = (plen > 6 && n >= off + 7) ? (buf[off + 6] & 0x80) != 0
-                                              : false;
+        if (compid == 1) {
+            r->armed = (plen > 6 && n >= off + 7)
+                           ? (buf[off + 6] & 0x80) != 0
+                           : false;
+        }
     }
     if (r->log_mode == 2 && !r->armed) return;
     timeval tv{};

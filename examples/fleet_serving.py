@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--policy-dir", default=None,
                     help="dir with <vehicle>_{traj,posctrl}_policy.pkl; "
                          "default: the shipped checkpoints in configs/models")
+    ap.add_argument("--refine-iters", type=int, default=0,
+                    help="with --solver policy: APG polish iterations per "
+                         "vehicle per tick (policy.refine_iters)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -80,7 +83,8 @@ def main():
                   file=sys.stderr)
             return 1
         cfg["solver"] = "policy"
-        cfg["policy"] = {"params_path": ckpt}
+        cfg["policy"] = {"params_path": ckpt,
+                         "refine_iters": args.refine_iters}
     mesh = make_mesh((len(jax.devices()), 1))
     print(f"devices: {jax.devices()}  fleet size: {B}", flush=True)
     t0 = time.time()

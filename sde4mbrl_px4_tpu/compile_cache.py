@@ -49,12 +49,20 @@ def _enable_cache_on_experimental_backends() -> None:
 
     def is_cache_used(backend) -> bool:
         used = orig(backend)
-        if (not used and cc._is_cache_enabled()
-                and getattr(backend, "supports_executable_serialization",
-                            True)):
-            with cc._cache_initialized_mutex:
-                cc._cache_used = True
-            used = True
+        try:
+            # Only widen when the backend POSITIVELY advertises executable
+            # serialization (default False: absence of the attribute must
+            # not defeat the allowlist's conservatism). The private-attr
+            # pokes are guarded so a future jax refactor degrades to the
+            # stock behavior instead of failing every compile.
+            if (not used and cc._is_cache_enabled()
+                    and getattr(backend,
+                                "supports_executable_serialization", False)):
+                with cc._cache_initialized_mutex:
+                    cc._cache_used = True
+                used = True
+        except Exception:  # pragma: no cover — jax internals moved
+            pass
         return used
 
     is_cache_used._sde4mbrl_patched = True

@@ -463,24 +463,29 @@ def make_mpc_from_config(
         x_ref = _build_ref(curr_t, xdes)
         u_prev = opt_state.yk[0]
 
-        # Amortized init: the plan network runs FIRST (u_prev must be the
-        # previously commanded control, read above, before any substitute).
-        # With refine_iters the plan seeds the short APG solve below (mega
-        # kernel or XLA path, unchanged machinery) — but ONLY on a cold
-        # start (num_steps == 0, i.e. straight after reset_fn): in the
-        # steady receding-horizon regime the SHIFTED previous plan is the
-        # better initializer (measured on the lemniscate: shift+3-iter APG
-        # tracks 0.027 m where policy+3-iter tracks 0.055 m — the network
+        # Amortized init (u_prev must be the previously commanded control,
+        # read above, before any substitute). With refine_iters the
+        # network's plan seeds the short APG solve below (mega kernel or
+        # XLA path, unchanged machinery) — but ONLY on a cold start
+        # (num_steps == 0, i.e. straight after reset_fn): in the steady
+        # receding-horizon regime the SHIFTED previous plan is the better
+        # initializer (measured on the lemniscate: shift+3-iter APG tracks
+        # 0.027 m where policy-seeded+3-iter tracks 0.055 m — the network
         # buys the engagement transient, the shift owns steady state).
+        # lax.cond, not jnp.where: the MLP forward must not execute inside
+        # every warm 20 Hz solve just to be discarded.
         u_plan = None
-        if solver_kind == "policy":
+        if solver_kind == "policy" and not policy_refine:
             u_plan = _policy_apply(
                 policy_net, _policy_featurize(x, x_ref, u_prev[:n_u]),
                 lb, ub)
-            if policy_refine:
-                is_cold = opt_state.num_steps == 0
-                opt_state = opt_state._replace(
-                    yk=jnp.where(is_cold, u_plan, opt_state.yk))
+        elif solver_kind == "policy":
+            opt_state = opt_state._replace(yk=jax.lax.cond(
+                opt_state.num_steps == 0,
+                lambda: _policy_apply(
+                    policy_net, _policy_featurize(x, x_ref, u_prev[:n_u]),
+                    lb, ub),
+                lambda: opt_state.yk))
 
         # Receding-horizon warm-start shift (shared by BOTH solver paths —
         # "repeat" is the parity default, "extrapolate" the config option).

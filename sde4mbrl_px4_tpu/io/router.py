@@ -55,16 +55,25 @@ def _msgid(frame: bytes) -> Optional[int]:
 
 
 def _heartbeat_armed(frame: bytes) -> Optional[bool]:
-    """Arm bit from a HEARTBEAT (msgid 0) frame, else None.
+    """Arm bit from an AUTOPILOT HEARTBEAT (msgid 0), else None.
 
-    base_mode is payload byte 6 (custom_mode u32, type, autopilot,
-    base_mode, ...); bit 0x80 = MAV_MODE_FLAG_SAFETY_ARMED. MAVLink v2
-    zero-trims trailing payload bytes, so a missing byte means base_mode
-    0 = disarmed.
+    Only component MAV_COMP_ID_AUTOPILOT1 (1) gates the arm state — a GCS
+    or companion heartbeat (compid 190/191/...) reports ITS OWN base_mode
+    with the armed bit clear, and trusting it would disarm the log gate
+    once per second mid-flight (mavlink-router gates on the flight stack's
+    heartbeat the same way). base_mode is payload byte 6 (custom_mode u32,
+    type, autopilot, base_mode, ...); bit 0x80 =
+    MAV_MODE_FLAG_SAFETY_ARMED. MAVLink v2 zero-trims trailing payload
+    bytes, so a missing byte means base_mode 0 = disarmed.
     """
     if _msgid(frame) != 0:
         return None
-    off = 10 if frame[0] == 0xFD else 6
+    if frame[0] == 0xFD:
+        off, compid = 10, frame[6]
+    else:
+        off, compid = 6, frame[4]
+    if compid != 1:                      # not the autopilot's heartbeat
+        return None
     plen = frame[1]
     if plen > 6 and len(frame) >= off + 7:
         return bool(frame[off + 6] & 0x80)
@@ -125,20 +134,27 @@ class FrameLog:
 def read_tlog(path: str) -> Iterator[Tuple[int, bytes]]:
     """Yield ``(t_usec, frame)`` from a ``.tlog``. Frame length comes from
     the MAVLink header (v2: 12 + payload_len signature-less; v1: 8 +
-    payload_len), so the file needs no separate framing."""
+    payload_len), so the file needs no separate framing. A record
+    truncated at EOF (router killed mid-write) ends the iteration cleanly
+    — the recoverable prefix is the flight log; a corrupt magic mid-file
+    is still an error (that's damage, not truncation)."""
     with open(path, "rb") as f:
         data = f.read()
     off = 0
-    while off + 9 <= len(data):
+    while off + 10 <= len(data):        # timestamp + at least magic+len
         (t_usec,) = struct.unpack_from(">Q", data, off)
         off += 8
         magic = data[off]
         if magic == 0xFD:
+            if off + 3 > len(data):
+                return                   # truncated header at EOF
             n = 12 + data[off + 1] + (13 if data[off + 2] & 0x01 else 0)
         elif magic == 0xFE:
             n = 8 + data[off + 1]
         else:
             raise ValueError(f"{path}: bad frame magic 0x{magic:02x} at {off}")
+        if off + n > len(data):
+            return                       # truncated frame at EOF
         yield t_usec, data[off : off + n]
         off += n
 

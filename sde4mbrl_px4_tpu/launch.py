@@ -173,7 +173,12 @@ def launch_router(cfg: Dict[str, Any]):
     # loop, no GIL on the forwarding path); the Python twin is the fallback
     # when the native library isn't built. Both are parity-tested.
     lib = load_native()
-    native = (lib is not None and hasattr(lib, "router_set_log")
+    # A stale native build (predates router_set_log) still serves the
+    # non-logging topology at full speed; only demote to the Python twin
+    # when the conf actually ASKS for flight logging the .so lacks.
+    need_log = general.log_dir is not None
+    native = (lib is not None and hasattr(lib, "router_new")
+              and (not need_log or hasattr(lib, "router_set_log"))
               and cfg.get("native", True))
     router = (NativeRouter if native else Router)(
         endpoints, log_dir=general.log_dir, log_mode=general.log_mode)

@@ -205,12 +205,14 @@ def test_parse_reference_hexa_conf_uart_ignored():
     assert eps[1].allow_in == {368} and eps[1].allow_out == {367}
 
 
-def _heartbeat(armed: bool, seq: int = 0) -> bytes:
+def _heartbeat(armed: bool, seq: int = 0, compid: int = 1) -> bytes:
     """Minimal MAVLink v2 HEARTBEAT (msgid 0): custom_mode u32, type,
     autopilot, base_mode (bit 0x80 = armed), system_status, version. The
-    router never validates CRC, so a placeholder CRC is fine."""
+    router never validates CRC, so a placeholder CRC is fine. compid 1 =
+    the autopilot (the component whose heartbeat gates arm state)."""
     payload = bytes([0, 0, 0, 0, 2, 12, 0x80 if armed else 0x00, 4, 3])
-    hdr = bytes([0xFD, len(payload), 0, 0, seq & 0xFF, 1, 1, 0, 0, 0])
+    hdr = bytes([0xFD, len(payload), 0, 0, seq & 0xFF, 1, compid & 0xFF,
+                 0, 0, 0])
     return hdr + payload + b"\x00\x00"
 
 
@@ -308,6 +310,37 @@ def test_flight_log_while_armed_gating(tmp_path):
     times = [int(m.time_usec) for m in got if m is not None]
     assert times == [2]                      # only the armed-window state
     assert fl.frames_logged == 2             # heartbeat + one state
+
+
+def test_gcs_heartbeat_does_not_disarm_log(tmp_path):
+    """A GCS/companion HEARTBEAT (compid != 1) carries ITS OWN base_mode
+    with the armed bit clear — it must not gate the flight log (the
+    shipped confs leave the telemetry endpoint unfiltered, so QGC
+    heartbeats DO reach the logger; mavlink-router gates on the autopilot
+    component the same way). Also: a truncated tail (router killed
+    mid-write) yields the recoverable prefix, not an exception."""
+    from sde4mbrl_px4_tpu.io.router import FrameLog, read_tlog
+
+    path = str(tmp_path / "gcs.tlog")
+    fl = FrameLog(path, mode="while-armed")
+    fl.log(_heartbeat(True))                       # autopilot arms
+    fl.log(mav.encode_full_state(1, np.zeros(13, np.float32)))
+    fl.log(_heartbeat(False, compid=190))          # QGC heartbeat: ignored
+    fl.log(mav.encode_full_state(2, np.zeros(13, np.float32)))
+    fl.log(_heartbeat(False))                      # autopilot disarms
+    fl.log(mav.encode_full_state(3, np.zeros(13, np.float32)))
+    fl.close()
+    times = [int(m.time_usec) for _, f in read_tlog(path)
+             if (m := mav.decode_frame(f)) is not None]
+    assert times == [1, 2]
+
+    # truncated mid-record: clean stop after the intact prefix
+    data = open(path, "rb").read()
+    trunc = str(tmp_path / "trunc.tlog")
+    open(trunc, "wb").write(data[:-7])
+    n_full = sum(1 for _ in read_tlog(path))
+    n_trunc = sum(1 for _ in read_tlog(trunc))
+    assert n_trunc == n_full - 1
 
 
 def test_native_while_armed_matches_twin(tmp_path):
