@@ -192,7 +192,9 @@ def make_cost_fn(cp: CostParams, time_steps: jax.Array):
         if cp.slack_sel is not None and s_seq is not None:
             # Proximal-slack coupling: state components vs their (projected,
             # admissible) slack targets, discounted like tracking.
-            x_sel = jnp.einsum("phj,mj->phm", x_paths[:, 1:, :], cp.slack_sel)
+            x_sel = jnp.einsum("phj,mj->phm", x_paths[:, 1:, :],
+                   cp.slack_sel,
+                   precision=jax.lax.Precision.HIGHEST)
             dsl = (x_sel - s_seq[None]) * cp.slack_inv_scale
             track = track + jnp.sum(cp.slack_pen * dsl * dsl, -1)
         if cp.state_pen13 is not None:

@@ -164,7 +164,20 @@ def drift_terms(model: NeuralSDE, params: Dict[str, Any], x: jax.Array,
     omega = x[..., OMEGA]
 
     mix = jnp.asarray(veh.mixing, x.dtype) * jnp.exp(params["motor"]["log_gain"])[:, None]
-    wrench = jnp.einsum("ij,...j->...i", mix, jnp.broadcast_to(u, x.shape[:-1] + (veh.n_motors,)))
+    # HIGHEST precision is load-bearing here: this is the control-to-wrench
+    # map — the entire gradient signal of the solve flows through it, and
+    # the MXU's default bf16 inputs quantize motor commands at ~3e-3
+    # relative, BELOW the per-iteration control updates near convergence.
+    # Measured (round 3, B=64 fleet engagement on v5e): with default
+    # precision the batched XLA solver false-plateaus at 0.3-0.5 m tracking
+    # (atol/rtol early exit at ~10/15 iterations); with HIGHEST it matches
+    # CPU f32 exactly (0.067 m) — the fused kernels always did this dot at
+    # HIGHEST (ops/pallas/bodies.py:136), which is why only the XLA batched
+    # path stalled.
+    wrench = jnp.einsum(
+        "ij,...j->...i", mix,
+        jnp.broadcast_to(u, x.shape[:-1] + (veh.n_motors,)),
+        precision=jax.lax.Precision.HIGHEST)
     thrust = wrench[..., 0]
     tau = wrench[..., 1:4]
 

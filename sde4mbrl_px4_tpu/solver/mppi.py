@@ -149,7 +149,11 @@ def mppi_solve(
         # regardless of the cost magnitude.
         spread_j = jnp.maximum(jnp.mean(costs) - jnp.min(costs), 1e-9)
         w = jax.nn.softmax(-(costs - jnp.min(costs)) / (lam * spread_j))
-        u_new = jnp.einsum("k,khn->hn", w, cands)
+        # HIGHEST: candidate mixing carries the solver's whole update —
+        # bf16 inputs quantize motor commands at ~3e-3 relative (same
+        # failure class as the mixer dot, models/sde_model.py)
+        u_new = jnp.einsum("k,khn->hn", w, cands,
+                           precision=jax.lax.Precision.HIGHEST)
         # Movement proxy: weight NOT on the incumbent. -> 0 when the round
         # keeps the current sequence (stationary/converged), matching the
         # APG convention that grad_norm -> 0 at convergence.
