@@ -64,14 +64,20 @@ def test_cache_warms_across_processes(tmp_path):
         return float(line.split()[1])
 
     t_cold = run()
-    entries = [f for f in os.listdir(cache) if f.endswith("-cache")]
+    entries = sorted(f for f in os.listdir(cache) if f.endswith("-cache"))
     assert entries, "no persistent cache entries written"
     assert any("jit_" in f for f in entries)
 
     t_warm = run()
-    # Cold MPC compile is ~10-20 s on this harness; a cache hit
-    # deserializes in well under half that even on a loaded host.
-    assert t_warm < max(0.5 * t_cold, 3.0), (t_cold, t_warm)
+    # The load-insensitive cross-process property: the warm process compiles
+    # NOTHING new — every program deserializes from the entries process 1
+    # wrote. (A pure timing bound flakes when the host is busy; timing stays
+    # as a loose secondary signal only.)
+    entries_after = sorted(f for f in os.listdir(cache) if f.endswith("-cache"))
+    assert entries_after == entries, (
+        f"warm process wrote new cache entries (cache miss): "
+        f"{set(entries_after) - set(entries)}")
+    assert t_warm < max(0.9 * t_cold, 10.0), (t_cold, t_warm)
 
 
 def test_ensure_compile_cache_configures_live_jax():
