@@ -398,6 +398,58 @@ def make_mpc_from_config(
     else:
         z_hover = u_hover
 
+    # Diagonal curvature preconditioner (``apg_mpc.precond: hover_diag``,
+    # opt-in). The MPC cost's diagonal curvature decays ~580x from horizon
+    # row 0 to row H-1 (early controls steer the whole downstream
+    # trajectory; measured, tools/curvature_probe.py) and that conditioning
+    # sets the APG iteration count. The exact Hessian diagonal at a
+    # representative operating point (trajectory start, hover controls) is
+    # computed ONCE at load time via H*n_z vmapped HVPs and baked into the
+    # solve as a constant diagonal metric: step proj(y - t*D*g), Armijo
+    # quadratic <d, D^{-1}d>/(2t) (solver/apg.py::apg_solve(precond=...)).
+    # Measured on the pinned headline window: ~2x fewer warm iterations at
+    # identical plan cost/tracking (tools/iter_ab.py).
+    precond_mode = str(cfg["apg_mpc"].get("precond") or "none")
+    if precond_mode not in ("none", "hover_diag"):
+        raise ValueError(
+            f"apg_mpc.precond must be 'hover_diag' or omitted, got "
+            f"{precond_mode!r}")
+    precond_diag = None
+    if precond_mode == "hover_diag" and solver_kind in ("apg", "policy"):
+        nZ_p = n_u + prox_m
+        if state_from_traj is not None:
+            ref0 = state_from_traj(knot_times)
+            x_ref_p = enu2ned(ref0) if convert_to_enu else ref0
+        else:
+            from sde4mbrl_px4_tpu.core.types import hover_state
+            x_ref_p = jnp.broadcast_to(hover_state(), (H + 1, 13))
+        x_p = x_ref_p[0]
+        u_prev_p = z_hover[0, :n_u]
+        rng_p = jax.random.PRNGKey(0)
+
+        def _cost_probe(z_seq):
+            u_seq = z_seq[:, :n_u] if prox_m else z_seq
+            s_seq = z_seq[:, n_u:] if prox_m else None
+            x_paths, sigmas = rollout_sde(
+                model, params, x_p, u_seq, time_steps, rng_p, 1,
+                deterministic=True)
+            return cost_fn(x_paths, sigmas, u_seq, x_ref_p, u_prev_p,
+                           s_seq=s_seq)
+
+        _g_probe = jax.grad(_cost_probe)
+
+        def _hess_diag(i):
+            e = jnp.zeros((H * nZ_p,)).at[i].set(1.0).reshape(H, nZ_p)
+            return jnp.sum(jax.jvp(_g_probe, (z_hover,), (e,))[1] * e)
+
+        d = jax.jit(jax.vmap(_hess_diag))(jnp.arange(H * nZ_p))
+        d = jnp.reshape(d, (H, nZ_p))
+        # Strictly positive metric: floor at a fraction of the peak so a
+        # (near-)flat or locally concave direction cannot blow the step up.
+        d = jnp.maximum(d, 1e-4 * jnp.max(d))
+        precond_diag = jax.device_get(jnp.min(d) / d)  # max(D) == 1
+        precond_diag = jnp.asarray(precond_diag, jnp.float32)
+
     def reset_fn(x: jax.Array, rng: jax.Array, xdes: jax.Array) -> APGState:
         """State-aware warm-start initializer (contract:
         ``sde_control.py:702,706-707``; the reference leaves reset
@@ -501,8 +553,8 @@ def make_mpc_from_config(
         # step; under "conservative" a carried-down stepsize would be
         # monotone non-increasing across the whole flight, so there each
         # solve restarts from init_stepsize (the original recovery path).
-        t_carry = (opt_state.stepsize if apg_cfg.reset_option == "increase"
-                   else None)
+        t_carry = (opt_state.stepsize
+                   if apg_cfg.reset_option in ("increase", "bb") else None)
 
         if use_pallas:
             from sde4mbrl_px4_tpu.ops.pallas.solve_kernels import pallas_cost_oracle
@@ -533,6 +585,7 @@ def make_mpc_from_config(
                     u_prev, noise_p, P, lb_z, ub_z, opt_state.yk,
                     interpret=pallas_interpret, chunk=pallas_chunk,
                     t_init=t_carry, return_traj=fuse_traj,
+                    precond=precond_diag,
                 )
                 if fuse_traj:
                     st, x_evol = st
@@ -601,7 +654,7 @@ def make_mpc_from_config(
             # skip the init_stepsize->workable ramp (~13 iterations at x1.3;
             # measured); gated on reset_option (see t_carry above).
             st = apg_solve(seq_cost, opt_state.yk, lb_z, ub_z, apg_cfg,
-                           t_init=t_carry)
+                           t_init=t_carry, precond=precond_diag)
         z_opt = st.yk                               # (H, nZ)
         u_opt = z_opt[:, :n_u] if prox_m else z_opt
 

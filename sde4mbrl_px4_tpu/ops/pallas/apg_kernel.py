@@ -80,6 +80,7 @@ def pallas_apg_solve(
     chunk: int = 0,
     t_init: jax.Array | None = None,
     return_traj: bool = False,
+    precond: jax.Array | None = None,
 ) -> APGState:
     """One fused APG solve -> APGState (yk = best iterate, unshifted).
 
@@ -93,7 +94,14 @@ def pallas_apg_solve(
     (``APGState.stepsize``) so warm receding-horizon solves skip the
     ``init_stepsize``->workable ramp — semantics identical to
     ``solver/apg.py::apg_solve(t_init=...)`` (non-positive falls back to
-    ``init_stepsize``)."""
+    ``init_stepsize``).
+
+    ``precond``: optional (H, nZ) diagonal metric — step
+    ``proj(y - t*D*g)``, Armijo quadratic ``<d, D^{-1}d>/(2t)`` — and
+    ``reset_option: bb`` (Barzilai–Borwein trial stepsize from the secant
+    pair at consecutive extrapolated points) mirror
+    ``solver/apg.py::apg_solve`` exactly; see the curvature analysis there
+    and in ``tools/curvature_probe.py``."""
     H = int(time_steps.shape[0])
     n = model.n_u
     P = int(num_particles)
@@ -122,8 +130,10 @@ def pallas_apg_solve(
     INC = float(apg.increase_factor)
     COEF = float(apg.coef)
     TMAX = float(apg.max_stepsize)
-    CONSERVATIVE = apg.reset_option != "increase"
+    BB = apg.reset_option == "bb"
+    CONSERVATIVE = apg.reset_option not in ("increase", "bb")
     MOM_RESTART = bool(apg.momentum_restart)
+    HAS_PRE = precond is not None
     if return_traj and not (deterministic and Pc == 1 and not chunk):
         raise ValueError(
             "return_traj requires a deterministic unchunked P=1 solve (the "
@@ -131,6 +141,8 @@ def pallas_apg_solve(
     n_out = 3 if return_traj else 2
 
     def _kernel(u0_ref, t0_ref, *refs):
+        if HAS_PRE:
+            pre_ref, refs = refs[0], refs[1:]
         const_refs = refs[:n_const]
         out_u_ref = refs[n_const]
         out_stats_ref = refs[n_const + 1]        # (1, 8)
@@ -161,6 +173,17 @@ def pallas_apg_solve(
         def proj1(u3):  # (H,1,nZ)
             return jnp.clip(u3, LB[None], UB[None])
 
+        # Diagonal metric plumbing (trace-time branch: the unpreconditioned
+        # kernel is byte-identical to before). ``dscale(g)`` is the step
+        # direction, ``dquad`` the Armijo quadratic <d, D^{-1} d>.
+        if HAS_PRE:
+            D3 = pre_ref[:]                      # (H, 1, nZ)
+            dscale = lambda g3: D3 * g3
+            dquad = lambda d3: d3 * d3 / D3
+        else:
+            dscale = lambda g3: g3
+            dquad = lambda d3: d3 * d3
+
         def vg(u3):
             """value+grad of a (H,1,nZ) iterate; gradient lands in g_ref."""
             u_scr[:] = u3
@@ -181,7 +204,7 @@ def pallas_apg_solve(
                 for k in range(K)
             )
             ts3 = t0 * df_pows                                   # (1,K,1)
-            U_cand = jnp.clip(y3 - ts3 * g3, LB[None], UB[None])  # (H,K,nZ)
+            U_cand = jnp.clip(y3 - ts3 * dscale(g3), LB[None], UB[None])  # (H,K,nZ)
             cand_ref[:] = U_cand
 
             roll_t, roll_r = run_candidates(ctx, cand_ref, K, x0v)
@@ -214,7 +237,7 @@ def pallas_apg_solve(
 
             d3 = U_cand - y3
             lin3 = g3 * d3
-            quad3 = d3 * d3
+            quad3 = dquad(d3)
 
             fs, lins, quads = [], [], []
             for k in range(K):
@@ -229,17 +252,33 @@ def pallas_apg_solve(
         f0 = vg(u0)
 
         def cond(c):
-            (k, k_m, u, y, f_u, t, best_f, best_u, no_imp, done,
-             sum_t, sum_ls) = c
+            k, done = c[0], c[9]
             return jnp.logical_and(k < apg.max_iter, jnp.logical_not(done))
 
         def body(c):
             (k, k_m, u, y, f_u, t, best_f, best_u, no_imp, done,
-             sum_t, sum_ls) = c
+             sum_t, sum_ls) = c[:12]
             f_y = vg(y)
             g3 = g_ref[:]
 
-            t0 = jnp.minimum(t * INC, TMAX) if not CONSERVATIVE else t
+            if BB:
+                # Barzilai–Borwein spectral trial stepsize from the secant
+                # pair at consecutive extrapolated points — only the INITIAL
+                # Armijo candidate; the accept rule below is unchanged.
+                # Mirrors solver/apg.py::apg_solve (reset_option "bb").
+                y_prev, g_prev = c[12], c[13]
+                s3 = y - y_prev
+                r3 = g3 - g_prev
+                sr = jnp.sum(s3 * r3)
+                rr = jnp.sum(r3 * dscale(r3))     # <r, D r>: BB2, D-metric
+                t_bb = sr / jnp.maximum(rr, 1e-12)
+                t_inc = jnp.minimum(t * INC, TMAX)
+                valid = jnp.logical_and(k > 0, sr > 1e-12)
+                t0 = jnp.where(valid, jnp.clip(t_bb, 1e-6, TMAX), t_inc)
+            elif not CONSERVATIVE:
+                t0 = jnp.minimum(t * INC, TMAX)
+            else:
+                t0 = t
             fs, lins, quads = cand_values(y, g3, t0)
 
             # first (largest-step) accepted candidate — static unroll
@@ -256,7 +295,7 @@ def pallas_apg_solve(
                 n_ls = jnp.where(ok_k, jnp.float32(k_i + 1), n_ls)
                 ok_any = jnp.logical_or(ok_any, ok_k)
 
-            u_trial = proj1(y - t_acc * g3)
+            u_trial = proj1(y - t_acc * dscale(g3))
             ok_b = ok_any
             u_new = jnp.where(ok_b, u_trial, u)
             f_new = jnp.where(ok_b, f_new_s, f_u)
@@ -280,14 +319,20 @@ def pallas_apg_solve(
             converged = jnp.logical_and(ok_b, df_ <= apg.atol + apg.rtol * jnp.abs(f_u))
             done2 = jnp.logical_or(converged, no_imp2 >= apg.max_no_improvement_iter)
 
-            return (k + 1, k_m_new, u_new, y_new, f_new, t_acc, best_f2,
-                    best_u2, no_imp2, done2, sum_t + t_acc, sum_ls + n_ls)
+            out = (k + 1, k_m_new, u_new, y_new, f_new, t_acc, best_f2,
+                   best_u2, no_imp2, done2, sum_t + t_acc, sum_ls + n_ls)
+            if BB:
+                out = out + (y, g3)   # the secant pair for the next iterate
+            return out
 
         init = (jnp.int32(0), jnp.int32(0), u0, u0, f0, t0_ref[0, 0],
                 f0, u0, jnp.int32(0), jnp.bool_(False),
                 jnp.float32(0.0), jnp.float32(0.0))
+        if BB:
+            init = init + (u0, g_ref[:])  # vg(u0) above left grad(u0) here
+        fin = jax.lax.while_loop(cond, body, init)
         (k, k_m, u, y, f_u, t, best_f, best_u, no_imp, done,
-         sum_t, sum_ls) = jax.lax.while_loop(cond, body, init)
+         sum_t, sum_ls) = fin[:12]
 
         # exit gradient at the best iterate
         _ = vg(best_u)
@@ -329,10 +374,16 @@ def pallas_apg_solve(
     ]
     if return_traj:
         out_shape.append(jax.ShapeDtypeStruct((H + 1, 1, 13), f32))
+    pre_args = []
+    pre_specs = []
+    if HAS_PRE:
+        pre_args.append(jnp.broadcast_to(
+            jnp.asarray(precond, f32), (H, nZ)).reshape(H, 1, nZ))
+        pre_specs.append(_vmem)
     outs = pl.pallas_call(
         _kernel,
         out_shape=tuple(out_shape),
-        in_specs=[_vmem, _smem] + const_specs,
+        in_specs=[_vmem, _smem] + pre_specs + const_specs,
         out_specs=(_vmem,) * len(out_shape),
         scratch_shapes=[
             pltpu.VMEM((H + 1, Pc, 13), jnp.float32),
@@ -341,7 +392,7 @@ def pallas_apg_solve(
             pltpu.VMEM((H, 1, nZ), jnp.float32),
         ],
         interpret=interpret,
-    )(u_init.astype(f32).reshape(H, 1, nZ), t0_arr, *consts)
+    )(u_init.astype(f32).reshape(H, 1, nZ), t0_arr, *pre_args, *consts)
     out_u, out_stats = outs[0], outs[1]
 
     st = APGState(

@@ -78,7 +78,7 @@ class APGConfig(NamedTuple):
     coef: float = 0.01
     decrease_factor: float = 0.7
     increase_factor: float = 1.3
-    reset_option: str = "increase"  # or "conservative"
+    reset_option: str = "increase"  # or "conservative" | "bb"
     maxls: int = 4
     # TPU execution strategy: evaluate all maxls backtracking candidates in
     # ONE batched rollout instead of sequentially. Identical accept decision
@@ -166,6 +166,8 @@ class _Carry(NamedTuple):
     done: jax.Array
     sum_t: jax.Array         # stepsize accumulator (for avg)
     sum_ls: jax.Array        # linesearch-eval accumulator
+    y_prev: jax.Array        # previous extrapolated point (BB secant pair)
+    g_prev: jax.Array        # gradient at y_prev (BB secant pair)
 
 
 def apg_solve(
@@ -175,6 +177,7 @@ def apg_solve(
     ub: jax.Array,
     cfg: APGConfig,
     t_init: Optional[jax.Array] = None,
+    precond: Optional[jax.Array] = None,
 ) -> APGState:
     """Minimize ``cost_fn`` over box-constrained control sequences.
 
@@ -192,6 +195,18 @@ def apg_solve(
     iterations to reach a workable step on the flight configs (measured on
     v5e; see ``tools/tpu_decompose_solve.py``). Non-positive values fall
     back to ``init_stepsize`` (so a fresh ``reset_fn`` state is unchanged).
+
+    ``precond``: optional diagonal preconditioner, broadcastable to the
+    iterate shape (H, n_u), strictly positive. The step becomes
+    ``proj(y - t * D * g)`` — projected scaled gradient in the
+    ``D^{-1}``-metric — and the Armijo majorization's quadratic term becomes
+    ``<d, D^{-1} d> / (2t)`` so the accept rule tests the matching metric.
+    Box projection stays EXACT under a diagonal metric (the prox is
+    separable). Motivation: the MPC cost's diagonal curvature decays ~580×
+    from horizon row 0 to row H-1 (early controls move the whole downstream
+    trajectory; measured on the flagship config, ``tools/curvature_probe.py``)
+    and conditioning sets the APG iteration count — equalizing the diagonal
+    cuts warm iterations ~2× (``tools/iter_ab.py``).
     """
     oracle = cost_fn if isinstance(cost_fn, CostOracle) else CostOracle.from_fn(cost_fn)
     cost_fn = oracle.value
@@ -200,6 +215,20 @@ def apg_solve(
 
     u0 = proj(u_init)
     f0, g0 = vg(u0)
+
+    # Diagonal preconditioner plumbing (identity when precond is None —
+    # trace-time branch, so the unpreconditioned hot path carries no extra
+    # ops). ``dscale(g)`` is the step direction, ``dquad(d)`` the Armijo
+    # quadratic <d, D^{-1} d> replacing <d, d>.
+    if precond is None:
+        D = None
+        dscale = lambda g: g
+        dquad = lambda d, axis=None: jnp.sum(d * d, axis=axis)
+    else:
+        D = jnp.broadcast_to(
+            jnp.asarray(precond, jnp.float32), u_init.shape)
+        dscale = lambda g: D * g
+        dquad = lambda d, axis=None: jnp.sum(d * d / D, axis=axis)
 
     def linesearch(y, f_y, g, t0):
         """Backtracking linesearch on the proximal quadratic upper bound.
@@ -222,13 +251,13 @@ def apg_solve(
 
         def body(c):
             t, n_ls, _, _, _ = c
-            u_t = proj(y - t * g)
+            u_t = proj(y - t * dscale(g))
             f_t = cost_fn(u_t)
             d = u_t - y
             bound = (
                 f_y
                 + (1.0 - cfg.coef) * jnp.sum(g * d)
-                + jnp.sum(d * d) / (2.0 * jnp.maximum(t, 1e-12))
+                + dquad(d) / (2.0 * jnp.maximum(t, 1e-12))
             )
             ok = f_t <= bound
             t_next = jnp.where(ok, t, t * cfg.decrease_factor)
@@ -248,11 +277,11 @@ def apg_solve(
         """
         K = cfg.maxls
         ts = t0 * (cfg.decrease_factor ** jnp.arange(K, dtype=jnp.float32))  # (K,)
-        u_ts = proj(y[None] - ts[:, None, None] * g[None])                   # (K, H, n)
+        u_ts = proj(y[None] - ts[:, None, None] * dscale(g)[None])           # (K, H, n)
         f_ts = oracle.value_batch(u_ts)                                      # (K,)
         d = u_ts - y[None]
         lin = jnp.sum(g[None] * d, axis=(1, 2))
-        quad = jnp.sum(d * d, axis=(1, 2)) / (2.0 * jnp.maximum(ts, 1e-12))
+        quad = dquad(d, axis=(1, 2)) / (2.0 * jnp.maximum(ts, 1e-12))
         ok_k = f_ts <= f_y + (1.0 - cfg.coef) * lin + quad                   # (K,)
         any_ok = jnp.any(ok_k)
         idx = jnp.argmax(ok_k)  # first (largest-step) accepted candidate
@@ -267,16 +296,36 @@ def apg_solve(
         f_y, g = vg(c.y)
 
         if cfg.use_linesearch:
-            t0 = (
-                jnp.minimum(c.t * cfg.increase_factor, cfg.max_stepsize)
-                if cfg.reset_option == "increase"
-                else c.t
-            )
+            if cfg.reset_option == "bb":
+                # Barzilai–Borwein spectral trial stepsize (BB1) from the
+                # secant pair at consecutive extrapolated points:
+                #     t_bb = <s, s> / <s, r>,  s = y_k - y_{k-1},
+                #                              r = g(y_k) - g(y_{k-1}).
+                # It is only the INITIAL Armijo candidate — the FISTA-bound
+                # accept rule below is unchanged, so stability is identical;
+                # BB just lands the trial near the local 1/L instead of
+                # ramping ×increase_factor per iteration (measured: ~25 %
+                # fewer warm iterations on the flagship config, iter_ab.py).
+                # Falls back to the "increase" rule on the first iteration
+                # or a non-convex secant (<s, r> <= 0).
+                s = c.y - c.y_prev
+                r = g - c.g_prev
+                sr = jnp.sum(s * r)
+                rr = jnp.sum(r * dscale(r))   # <r, D r>: BB2 in the D-metric
+                t_bb = sr / jnp.maximum(rr, 1e-12)
+                t_inc = jnp.minimum(c.t * cfg.increase_factor, cfg.max_stepsize)
+                valid = jnp.logical_and(c.k > 0, sr > 1e-12)
+                t0 = jnp.where(valid,
+                               jnp.clip(t_bb, 1e-6, cfg.max_stepsize), t_inc)
+            elif cfg.reset_option == "increase":
+                t0 = jnp.minimum(c.t * cfg.increase_factor, cfg.max_stepsize)
+            else:
+                t0 = c.t
             ls = linesearch_vec if cfg.vector_linesearch else linesearch
             u_trial, f_trial, t_acc, n_ls, ok = ls(c.y, f_y, g, t0)
         else:
             t_acc = jnp.float32(cfg.stepsize)
-            u_trial = proj(c.y - t_acc * g)
+            u_trial = proj(c.y - t_acc * dscale(g))
             f_trial = cost_fn(u_trial)
             n_ls = jnp.int32(1)
             ok = f_trial <= f_y
@@ -328,6 +377,8 @@ def apg_solve(
             done=done,
             sum_t=c.sum_t + t_acc,
             sum_ls=c.sum_ls + n_ls.astype(jnp.float32),
+            y_prev=c.y,
+            g_prev=g,
         )
 
     t0c = jnp.float32(cfg.init_stepsize if cfg.use_linesearch else cfg.stepsize)
@@ -348,6 +399,8 @@ def apg_solve(
         done=jnp.bool_(False),
         sum_t=jnp.float32(0.0),
         sum_ls=jnp.float32(0.0),
+        y_prev=u0,
+        g_prev=g0,
     )
     c = jax.lax.while_loop(outer_cond, outer_body, init)
 

@@ -57,6 +57,49 @@ def test_ill_conditioned_quadratic():
     np.testing.assert_allclose(np.asarray(st.yk), 0.6, atol=1e-2)
 
 
+def test_precond_exact_metric_kills_conditioning():
+    """An exact diagonal preconditioner (D = 1/diag Hessian, rescaled) makes
+    the anisotropic quadratic behave like the isotropic one: same minimizer,
+    far fewer iterations than unpreconditioned."""
+    scales = jnp.array([30.0, 1.0])      # Hessian diag = 2*scales^2
+    target = jnp.full((3, 2), 0.6)
+
+    def cost(u):
+        d = (u - target) * scales
+        return jnp.sum(d * d)
+
+    cfg = APGConfig(max_iter=2000, max_no_improvement_iter=400, rtol=1e-9,
+                    atol=1e-10)
+    u0 = jnp.full((3, 2), 0.5)
+    st_plain = apg_solve(cost, u0, jnp.zeros(2), jnp.ones(2), cfg)
+    hdiag = 2.0 * scales**2
+    D = jnp.broadcast_to(jnp.min(hdiag) / hdiag, (3, 2))   # max(D)=1
+    st_pre = apg_solve(cost, u0, jnp.zeros(2), jnp.ones(2), cfg, precond=D)
+    np.testing.assert_allclose(np.asarray(st_pre.yk), 0.6, atol=1e-3)
+    assert float(st_pre.num_steps) < 0.5 * float(st_plain.num_steps)
+
+
+def test_bb_reset_option_converges_faster():
+    """reset_option='bb': Barzilai–Borwein trial stepsize must converge to
+    the same optimum and land trial steps near 1/L (fewer iterations on the
+    ramp-limited regime: tiny init_stepsize, mild increase_factor)."""
+    target = jnp.full((4, 3), 0.8)
+
+    def cost(u):
+        d = u - target
+        return jnp.sum(d * d)
+
+    base = dict(max_iter=500, max_no_improvement_iter=100,
+                init_stepsize=1e-4, increase_factor=1.1, rtol=1e-9)
+    u0 = jnp.full((4, 3), 0.5)
+    st_inc = apg_solve(cost, u0, jnp.zeros(3), jnp.ones(3),
+                       APGConfig(reset_option="increase", **base))
+    st_bb = apg_solve(cost, u0, jnp.zeros(3), jnp.ones(3),
+                      APGConfig(reset_option="bb", **base))
+    np.testing.assert_allclose(np.asarray(st_bb.yk), 0.8, atol=1e-3)
+    assert float(st_bb.num_steps) < float(st_inc.num_steps)
+
+
 def test_stats_fields_populated():
     target = jnp.full((5, 3), 0.7)
     st = _solve_quadratic(target)

@@ -13,11 +13,12 @@ from sde4mbrl_px4_tpu.solver.apg import apg_solve
 
 
 def _solve_both(bundle_fixture, max_iter=10, x_off=(0.3, 0.2), sc_cfg=None,
-                num_particles=1):
+                num_particles=1, precond=None, **apg_overrides):
     cfg, fns, sft, b = bundle_fixture
     H, n = 20, b.model.n_u
     apg = b.apg_config._replace(max_iter=max_iter,
-                                max_no_improvement_iter=max_iter)
+                                max_no_improvement_iter=max_iter,
+                                **apg_overrides)
     cp = b.cost_params
     if sc_cfg is not None:
         cfg2 = dict(cfg)
@@ -45,12 +46,12 @@ def _solve_both(bundle_fixture, max_iter=10, x_off=(0.3, 0.2), sc_cfg=None,
                              P, deterministic=deterministic)
         return cost_fn(xp, sg, u_seq, x_ref, u_prev)
 
-    st_x = apg_solve(seq_cost, u_init, b.lb, b.ub, apg)
+    st_x = apg_solve(seq_cost, u_init, b.lb, b.ub, apg, precond=precond)
 
     st_p = pallas_apg_solve(
         b.model, b.params, cp, apg, b.time_steps, x0, x_ref, u_prev,
         noise, P, b.lb, b.ub, u_init, interpret=True,
-        deterministic=deterministic,
+        deterministic=deterministic, precond=precond,
     )
     return st_x, st_p
 
@@ -201,6 +202,49 @@ def test_mega_solve_exported_trajectory(iris_traj_bundle):
             b.model, b.params, cp, apg, b.time_steps, x0, x_ref, u_prev,
             jnp.zeros((4, H, 13), jnp.float32), 4, b.lb, b.ub, u_init,
             interpret=True, return_traj=True)
+
+
+def test_mega_solve_parity_precond(iris_traj_bundle):
+    """Diagonal-metric step (proj(y - t*D*g), <d,D^{-1}d> Armijo quadratic):
+    kernel and XLA paths in lockstep, and D must actually reach the kernel
+    (the preconditioned solve differs from the unpreconditioned one)."""
+    H = 20
+    n = iris_traj_bundle[3].model.n_u
+    # horizon-decaying metric mimicking the measured MPC curvature shape
+    # (~580x decay row 0 -> row H-1; tools/curvature_probe.py)
+    d_row = jnp.exp(-jnp.linspace(0.0, 4.0, H))       # 1 .. e^-4
+    D = jnp.broadcast_to(d_row[:, None], (H, n))
+    st_x, st_p = _solve_both(iris_traj_bundle, max_iter=8, precond=D)
+    assert int(st_p.num_steps) == int(st_x.num_steps)
+    np.testing.assert_allclose(np.asarray(st_p.yk), np.asarray(st_x.yk),
+                               rtol=2e-4, atol=2e-5)
+    assert float(st_p.opt_cost) == pytest.approx(float(st_x.opt_cost), rel=2e-4)
+    assert float(st_p.stepsize) == pytest.approx(float(st_x.stepsize), rel=1e-4)
+    st_plain = _solve_both(iris_traj_bundle, max_iter=8)[1]
+    assert not np.allclose(np.asarray(st_plain.yk), np.asarray(st_p.yk),
+                           rtol=1e-6, atol=1e-7)
+
+
+def test_mega_solve_parity_bb(iris_traj_bundle):
+    """reset_option='bb' (Barzilai–Borwein trial stepsize): kernel/XLA
+    lockstep, with and without the diagonal metric."""
+    H = 20
+    n = iris_traj_bundle[3].model.n_u
+    st_x, st_p = _solve_both(iris_traj_bundle, max_iter=8, reset_option="bb")
+    assert int(st_p.num_steps) == int(st_x.num_steps)
+    np.testing.assert_allclose(np.asarray(st_p.yk), np.asarray(st_x.yk),
+                               rtol=2e-4, atol=2e-5)
+    assert float(st_p.stepsize) == pytest.approx(float(st_x.stepsize), rel=1e-4)
+    assert float(st_p.avg_stepsize) == pytest.approx(
+        float(st_x.avg_stepsize), rel=2e-4)
+
+    d_row = jnp.exp(-jnp.linspace(0.0, 4.0, H))
+    D = jnp.broadcast_to(d_row[:, None], (H, n))
+    st_x2, st_p2 = _solve_both(iris_traj_bundle, max_iter=8,
+                               reset_option="bb", precond=D)
+    assert int(st_p2.num_steps) == int(st_x2.num_steps)
+    np.testing.assert_allclose(np.asarray(st_p2.yk), np.asarray(st_x2.yk),
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_mega_solve_parity_no_momentum_restart(iris_traj_bundle):
