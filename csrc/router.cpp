@@ -17,6 +17,7 @@
 // arm-gated in while-armed mode via the HEARTBEAT base_mode bit — parity
 // with the Python twin's FrameLog.
 #include <arpa/inet.h>
+#include <fcntl.h>
 #include <netinet/in.h>
 #include <poll.h>
 #include <pthread.h>
@@ -24,6 +25,7 @@
 #include <string.h>
 #include <sys/socket.h>
 #include <sys/time.h>
+#include <termios.h>
 #include <unistd.h>
 
 #include <atomic>
@@ -39,6 +41,11 @@ struct REndpoint {
     int fd = -1;
     bool server = false;
     bool have_peer = false;
+    // UART endpoint (conf [UartEndpoint] Device/Baud, reference
+    // scripts/router_hexa.conf:2-4): a byte STREAM, so inbound data is
+    // re-framed (v1/v2 header walk) before filtering/forwarding.
+    bool serial = false;
+    std::vector<uint8_t> stream;  // partial-frame reassembly buffer
     sockaddr_in peer{};
     bool filter_in = false, filter_out = false;
     std::set<int> allow_in, allow_out;
@@ -100,10 +107,43 @@ void forward(RRouter* r, REndpoint* src, const uint8_t* buf, int n) {
         if (dst == src) continue;
         if (dst->filter_out && (mid < 0 || !dst->allow_out.count(mid)))
             continue;
+        if (dst->serial) {
+            // UART: whole frames onto the byte stream; short writes only
+            // happen on a saturated line — drop the tail like the daemon
+            // drops on UDP error (MAVLink resyncs on the next magic).
+            ssize_t w = write(dst->fd, buf, static_cast<size_t>(n));
+            (void)w;
+            continue;
+        }
         if (!dst->have_peer) continue;  // Server endpoint, no peer yet
         sendto(dst->fd, buf, n, 0, reinterpret_cast<sockaddr*>(&dst->peer),
                sizeof(dst->peer));  // UDP: drop on error, like the daemon
     }
+}
+
+// Serial ingress: append to the endpoint's reassembly buffer, then walk
+// complete v1/v2 frames off the front (resync to the next 0xFD/0xFE magic
+// after noise) and forward each. Partial tails stay buffered.
+void deframe_and_forward(RRouter* r, REndpoint* ep, const uint8_t* data,
+                         ssize_t n) {
+    auto& s = ep->stream;
+    s.insert(s.end(), data, data + n);
+    size_t off = 0;
+    while (true) {
+        while (off < s.size() && s[off] != 0xFD && s[off] != 0xFE) ++off;
+        if (off + 2 > s.size()) break;
+        size_t len;
+        if (s[off] == 0xFD) {
+            if (off + 3 > s.size()) break;  // v2 length needs incompat flags
+            len = 12 + s[off + 1] + ((s[off + 2] & 0x01) ? 13 : 0);
+        } else {
+            len = 8 + s[off + 1];
+        }
+        if (off + len > s.size()) break;    // incomplete tail
+        forward(r, ep, s.data() + off, static_cast<int>(len));
+        off += len;
+    }
+    s.erase(s.begin(), s.begin() + off);
 }
 
 void* pump(void* arg) {
@@ -120,6 +160,12 @@ void* pump(void* arg) {
             auto* ep = r->eps[i];
             sockaddr_in from{};
             socklen_t flen = sizeof(from);
+            if (ep->serial) {  // byte stream: read + re-frame
+                ssize_t n = read(ep->fd, buf, sizeof(buf));
+                if (n <= 0) continue;
+                deframe_and_forward(r, ep, buf, n);
+                continue;
+            }
             ssize_t n = recvfrom(ep->fd, buf, sizeof(buf), 0,
                                  reinterpret_cast<sockaddr*>(&from), &flen);
             if (n <= 0) continue;
@@ -172,6 +218,54 @@ int router_add_udp(void* vr, const char* name, const char* addr, int port,
         inet_pton(AF_INET, addr, &ep->peer.sin_addr);
         ep->have_peer = true;
     }
+    for (const int* p = allow_in; p && *p >= 0; ++p) ep->allow_in.insert(*p);
+    ep->filter_in = allow_in != nullptr;
+    for (const int* p = allow_out; p && *p >= 0; ++p) ep->allow_out.insert(*p);
+    ep->filter_out = allow_out != nullptr;
+    r->eps.push_back(ep);
+    return static_cast<int>(r->eps.size()) - 1;
+}
+
+// UART endpoint (conf [UartEndpoint] Device/Baud — the reference flies
+// the real hexa over /dev/ttyUSB0 at 921600, scripts/router_hexa.conf:2-4).
+// Opens `device` raw 8N1 at `baud`; a pty stands in for the wire in tests
+// (ptys ignore the speed ioctls, so tcsetattr failure is tolerated).
+// allow_in/allow_out as in router_add_udp.
+int router_add_uart(void* vr, const char* name, const char* device, int baud,
+                    const int* allow_in, const int* allow_out) {
+    auto* r = static_cast<RRouter*>(vr);
+    if (r->started) return -1;
+    int fd = open(device, O_RDWR | O_NOCTTY | O_NONBLOCK);
+    if (fd < 0) return -1;
+    termios tio{};
+    if (tcgetattr(fd, &tio) == 0) {
+        cfmakeraw(&tio);
+        tio.c_cflag |= CREAD | CLOCAL;
+        tio.c_cc[VMIN] = 0;   // poll() gates reads; never block in read()
+        tio.c_cc[VTIME] = 0;
+        speed_t sp;
+        switch (baud) {  // the rates mavlink-router's confs use in practice
+            case 9600: sp = B9600; break;
+            case 19200: sp = B19200; break;
+            case 38400: sp = B38400; break;
+            case 57600: sp = B57600; break;
+            case 115200: sp = B115200; break;
+            case 230400: sp = B230400; break;
+            case 460800: sp = B460800; break;
+            case 500000: sp = B500000; break;
+            case 921600: sp = B921600; break;
+            case 1500000: sp = B1500000; break;
+            default: sp = B57600; break;
+        }
+        cfsetispeed(&tio, sp);
+        cfsetospeed(&tio, sp);
+        tcsetattr(fd, TCSANOW, &tio);  // pty: may fail, keep going
+    }
+    auto* ep = new REndpoint();
+    ep->name = name;
+    ep->serial = true;
+    ep->fd = fd;
+    ep->have_peer = true;  // a serial line always has its one peer
     for (const int* p = allow_in; p && *p >= 0; ++p) ep->allow_in.insert(*p);
     ep->filter_in = allow_in != nullptr;
     for (const int* p = allow_out; p && *p >= 0; ++p) ep->allow_out.insert(*p);

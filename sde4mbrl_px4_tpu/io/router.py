@@ -41,9 +41,9 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Set, Tuple
 
-__all__ = ["Endpoint", "Router", "NativeRouter", "parse_conf",
-           "parse_general", "GeneralConf", "FrameLog", "read_tlog",
-           "next_log_path"]
+__all__ = ["Endpoint", "SerialEndpoint", "Deframer", "Router",
+           "NativeRouter", "parse_conf", "parse_general", "GeneralConf",
+           "FrameLog", "read_tlog", "next_log_path"]
 
 
 def _msgid(frame: bytes) -> Optional[int]:
@@ -213,6 +213,129 @@ class Endpoint:
             self.sock.close()
 
 
+class Deframer:
+    """MAVLink stream reassembler for byte-stream transports (UART).
+
+    UDP delivers one frame per datagram, but a serial link is a byte
+    stream: frames arrive fragmented and concatenated, so the router must
+    re-frame before it can filter/forward (mavlink-routerd does the same
+    for its UartEndpoints). ``feed(bytes)`` returns every COMPLETE frame
+    terminated inside the data so far; partial tails are buffered. Bytes
+    that are not a valid v1/v2 frame start are skipped until the next
+    0xFD/0xFE magic (resync after line noise / mid-frame attach).
+    """
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+
+    def feed(self, data: bytes) -> List[bytes]:
+        self._buf.extend(data)
+        frames: List[bytes] = []
+        buf = self._buf
+        off = 0
+        while True:
+            # resync: scan to the next frame magic
+            while off < len(buf) and buf[off] not in (0xFD, 0xFE):
+                off += 1
+            if off + 2 > len(buf):
+                break                        # need magic + len byte
+            if buf[off] == 0xFD:
+                if off + 3 > len(buf):
+                    break                    # v2 length needs incompat flags
+                n = 12 + buf[off + 1] + (13 if buf[off + 2] & 0x01 else 0)
+            else:
+                n = 8 + buf[off + 1]
+            if off + n > len(buf):
+                break                        # incomplete tail: keep buffering
+            frames.append(bytes(buf[off : off + n]))
+            off += n
+        del buf[:off]
+        return frames
+
+
+@dataclass
+class SerialEndpoint:
+    """UART endpoint (conf ``[UartEndpoint X]`` ``Device``/``Baud`` — the
+    reference flies the real hexa through one at 921600 baud,
+    ``scripts/router_hexa.conf:2-4``). Raw termios byte stream with
+    MAVLink re-framing on receive; same filter semantics as
+    :class:`Endpoint`. A pty pair stands in for the wire in tests (ptys
+    ignore baud, so a failed baud ioctl is tolerated there)."""
+
+    name: str
+    device: str
+    baud: int = 57600
+    allow_in: Optional[Set[int]] = None
+    allow_out: Optional[Set[int]] = None
+    fd: int = -1
+    _deframer: Deframer = field(default_factory=Deframer, repr=False)
+    _pending: List[bytes] = field(default_factory=list, repr=False)
+
+    def open(self) -> None:
+        import termios
+
+        self.fd = os.open(self.device, os.O_RDWR | os.O_NOCTTY)
+        try:
+            attrs = termios.tcgetattr(self.fd)
+            # raw 8N1 (cfmakeraw equivalent)
+            attrs[0] = 0                                   # iflag
+            attrs[1] = 0                                   # oflag
+            attrs[2] = (termios.CS8 | termios.CREAD |
+                        termios.CLOCAL)                    # cflag
+            attrs[3] = 0                                   # lflag
+            attrs[6] = list(attrs[6])
+            attrs[6][termios.VMIN] = 0
+            attrs[6][termios.VTIME] = 1                    # 100 ms read gate
+            rate = getattr(termios, f"B{self.baud}", None)
+            if rate is not None:
+                attrs[4] = attrs[5] = rate                 # ispeed/ospeed
+            termios.tcsetattr(self.fd, termios.TCSANOW, attrs)
+        except termios.error:
+            pass  # pty test harness: raw/baud ioctls may be unsupported
+
+    @property
+    def bound_port(self) -> int:  # interface parity with Endpoint
+        return -1
+
+    def send(self, frame: bytes) -> None:
+        mid = _msgid(frame)
+        if self.allow_out is not None and (mid is None or
+                                           mid not in self.allow_out):
+            return
+        try:
+            os.write(self.fd, frame)
+        except OSError:
+            pass
+
+    def recv(self) -> Optional[bytes]:
+        if self._pending:
+            return self._check_in(self._pending.pop(0))
+        try:
+            data = os.read(self.fd, 65536)
+        except OSError:
+            return None
+        if not data:
+            time.sleep(0.01)  # EOF/no data: don't spin the pump thread
+            return None
+        frames = self._deframer.feed(data)
+        if not frames:
+            return None
+        self._pending = frames[1:]
+        return self._check_in(frames[0])
+
+    def _check_in(self, frame: bytes) -> Optional[bytes]:
+        mid = _msgid(frame)
+        if self.allow_in is not None and (mid is None or
+                                          mid not in self.allow_in):
+            return None
+        return frame
+
+    def close(self) -> None:
+        if self.fd >= 0:
+            os.close(self.fd)
+            self.fd = -1
+
+
 class Router:
     """Fan frames from each endpoint to every other endpoint.
 
@@ -265,24 +388,36 @@ class Router:
 
 
 def parse_conf(text: str) -> List[Endpoint]:
-    """Parse the mavlink-router conf dialect the reference ships
-    (``scripts/router_sitl.conf``): ``[UdpEndpoint Name]`` sections with
-    ``Mode``, ``Address``, ``Port``, ``AllowMsgIdIn``, ``AllowMsgIdOut``;
-    other sections (General, UartEndpoint) are ignored."""
+    """Parse the mavlink-router conf dialect the reference ships:
+    ``[UdpEndpoint Name]`` sections (``Mode``/``Address``/``Port``,
+    ``scripts/router_sitl.conf:13-19``) -> :class:`Endpoint`, and
+    ``[UartEndpoint Name]`` sections (``Device``/``Baud`` — the real-hexa
+    wire, ``scripts/router_hexa.conf:2-4``) -> :class:`SerialEndpoint`;
+    both take ``AllowMsgIdIn``/``AllowMsgIdOut``. The ``[General]``
+    section is read by :func:`parse_general`."""
     endpoints: List[Endpoint] = []
     cur: Optional[dict] = None
 
     def flush():
         nonlocal cur
         if cur is not None:
-            endpoints.append(Endpoint(
-                name=cur["name"],
-                address=cur.get("address", "127.0.0.1"),
-                port=int(cur.get("port", 0)),
-                mode=cur.get("mode", "Normal"),
-                allow_in=cur.get("allow_in"),
-                allow_out=cur.get("allow_out"),
-            ))
+            if cur.get("kind") == "uart":
+                endpoints.append(SerialEndpoint(
+                    name=cur["name"],
+                    device=cur.get("device", ""),
+                    baud=int(cur.get("baud", 57600)),
+                    allow_in=cur.get("allow_in"),
+                    allow_out=cur.get("allow_out"),
+                ))
+            else:
+                endpoints.append(Endpoint(
+                    name=cur["name"],
+                    address=cur.get("address", "127.0.0.1"),
+                    port=int(cur.get("port", 0)),
+                    mode=cur.get("mode", "Normal"),
+                    allow_in=cur.get("allow_in"),
+                    allow_out=cur.get("allow_out"),
+                ))
         cur = None
 
     for raw in text.splitlines():
@@ -294,6 +429,9 @@ def parse_conf(text: str) -> List[Endpoint]:
             section = line.strip("[]").split()
             if section[0] == "UdpEndpoint":
                 cur = {"name": section[1] if len(section) > 1 else "ep"}
+            elif section[0] == "UartEndpoint":
+                cur = {"name": section[1] if len(section) > 1 else "uart",
+                       "kind": "uart"}
             else:
                 cur = None
             continue
@@ -307,6 +445,12 @@ def parse_conf(text: str) -> List[Endpoint]:
             cur["address"] = val
         elif k == "port":
             cur["port"] = val
+        elif k == "device":
+            cur["device"] = val
+        elif k == "baud":
+            # mavlink-routerd accepts "baud" or "baud:flow-control" style
+            # lists; first numeric token wins here (no flow control).
+            cur["baud"] = val.replace(",", " ").split()[0]
         elif k == "allowmsgidin":
             cur.setdefault("allow_in", set()).update(
                 int(v) for v in val.replace(",", " ").split()
@@ -374,6 +518,13 @@ class NativeRouter:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int)]
+        has_uart = hasattr(lib, "router_add_uart")
+        if has_uart:
+            lib.router_add_uart.restype = ctypes.c_int
+            lib.router_add_uart.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int)]
         lib.router_start.restype = ctypes.c_int
         lib.router_start.argtypes = [ctypes.c_void_p]
         lib.router_rx_frames.restype = ctypes.c_long
@@ -417,13 +568,27 @@ class NativeRouter:
             return arr
 
         for e in endpoints:
-            rc = lib.router_add_udp(
-                self._h, e.name.encode(), e.address.encode(), int(e.port),
-                1 if e.mode == "Server" else 0, _ids(e.allow_in),
-                _ids(e.allow_out))
-            if rc < 0:
-                lib.router_stop_free(self._h)
-                raise OSError(f"endpoint {e.name}: bind/socket failed")
+            if isinstance(e, SerialEndpoint):
+                if not has_uart:
+                    lib.router_stop_free(self._h)
+                    raise RuntimeError(
+                        "native router lacks UART endpoints: rebuild with "
+                        "`make -C csrc`")
+                rc = lib.router_add_uart(
+                    self._h, e.name.encode(), e.device.encode(),
+                    int(e.baud), _ids(e.allow_in), _ids(e.allow_out))
+                if rc < 0:
+                    lib.router_stop_free(self._h)
+                    raise OSError(f"endpoint {e.name}: cannot open serial "
+                                  f"device {e.device}")
+            else:
+                rc = lib.router_add_udp(
+                    self._h, e.name.encode(), e.address.encode(), int(e.port),
+                    1 if e.mode == "Server" else 0, _ids(e.allow_in),
+                    _ids(e.allow_out))
+                if rc < 0:
+                    lib.router_stop_free(self._h)
+                    raise OSError(f"endpoint {e.name}: bind/socket failed")
             self._idx[e.name] = rc
         self._started = False
 

@@ -158,7 +158,7 @@ def launch_router(cfg: Dict[str, Any]):
     file in the mavlink-router dialect defines the endpoints/filters."""
     from sde4mbrl_px4_tpu.io.mavlink import load_native
     from sde4mbrl_px4_tpu.io.router import (
-        NativeRouter, Router, parse_conf, parse_general,
+        NativeRouter, Router, SerialEndpoint, parse_conf, parse_general,
     )
 
     conf = cfg["conf"]
@@ -177,8 +177,10 @@ def launch_router(cfg: Dict[str, Any]):
     # non-logging topology at full speed; only demote to the Python twin
     # when the conf actually ASKS for flight logging the .so lacks.
     need_log = general.log_dir is not None
+    need_uart = any(isinstance(e, SerialEndpoint) for e in endpoints)
     native = (lib is not None and hasattr(lib, "router_new")
               and (not need_log or hasattr(lib, "router_set_log"))
+              and (not need_uart or hasattr(lib, "router_add_uart"))
               and cfg.get("native", True))
     router = (NativeRouter if native else Router)(
         endpoints, log_dir=general.log_dir, log_mode=general.log_mode)

@@ -178,31 +178,150 @@ def test_launch_router_conf_parses(repo_root):
 
 def test_parse_shipped_hexa_conf(repo_root):
     """The vehicle-topology conf (tabs, inline comments, UartEndpoint +
-    General sections) parses like the reference's router_hexa.conf: UDP
-    endpoints extracted, non-UDP sections skipped."""
+    General sections) parses with ZERO ignored sections: the UART leg
+    becomes a SerialEndpoint, the UDP endpoints keep their filters."""
     import os
+
+    from sde4mbrl_px4_tpu.io.router import SerialEndpoint
 
     eps = parse_conf(open(os.path.join(repo_root, "configs",
                                        "router_hexa.conf")).read())
     assert [e.name for e in eps] == ["fcu", "telemetry", "mpc"]
-    assert eps[0].mode == "Server" and eps[0].port == 14550
+    assert isinstance(eps[0], SerialEndpoint)
+    assert eps[0].device == "/dev/ttyUSB0" and eps[0].baud == 921600
     mpc = eps[2]
     assert mpc.address == "192.168.1.207" and mpc.port == 14998
     assert mpc.allow_in == {368} and mpc.allow_out == {367}
 
 
-def test_parse_reference_hexa_conf_uart_ignored():
-    """The reference's REAL vehicle conf (UartEndpoint first) loads
-    unchanged: the UART section is skipped, the two UDP endpoints survive
-    with their filters."""
+def test_parse_reference_hexa_conf_uart():
+    """The reference's REAL vehicle conf (UartEndpoint first,
+    scripts/router_hexa.conf:2-4) loads unchanged with no section ignored:
+    the UART endpoint carries its Device/Baud, the UDP endpoints their
+    filters."""
     import os
+
+    from sde4mbrl_px4_tpu.io.router import SerialEndpoint
 
     ref = "/root/reference/scripts/router_hexa.conf"
     if not os.path.exists(ref):
         pytest.skip("reference tree not mounted")
     eps = parse_conf(open(ref).read())
-    assert [e.name for e in eps] == ["Mavros", "MPC"]
-    assert eps[1].allow_in == {368} and eps[1].allow_out == {367}
+    assert [e.name for e in eps] == ["PX4", "Mavros", "MPC"]
+    assert isinstance(eps[0], SerialEndpoint)
+    assert eps[0].device == "/dev/ttyUSB0" and eps[0].baud == 921600
+    assert eps[2].allow_in == {368} and eps[2].allow_out == {367}
+
+
+@pytest.fixture(params=["py", "native"])
+def uart_topology(request):
+    """Serial FCU leg (pty pair standing in for the UART wire) + an
+    id-filtered MPC UDP sink — the reference's real-vehicle topology
+    (``scripts/router_hexa.conf``), parametrized over both router
+    implementations. Yields (router, master_fd, mpc_sock, mpc_port)."""
+    import os
+    import pty
+
+    from sde4mbrl_px4_tpu.io.router import NativeRouter, SerialEndpoint
+
+    master, slave = pty.openpty()
+    fcu = SerialEndpoint("PX4", os.ttyname(slave), baud=921600)
+    mpc_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    mpc_sock.bind(("127.0.0.1", 0))
+    mpc_sock.settimeout(2.0)
+    mpc_ep = Endpoint("MPC", "127.0.0.1", mpc_sock.getsockname()[1],
+                      allow_in={368}, allow_out={367})
+    if request.param == "native":
+        from sde4mbrl_px4_tpu.io.mavlink import load_native
+
+        lib = load_native()
+        if lib is None or not hasattr(lib, "router_add_uart"):
+            pytest.skip("native UART router not built (make -C csrc)")
+        r = NativeRouter([fcu, mpc_ep])
+        r.start()
+        mpc_port = r.bound_port("MPC")
+    else:
+        r = Router([fcu, mpc_ep])
+        r.start()
+        mpc_port = mpc_ep.bound_port
+    yield r, master, mpc_sock, mpc_port
+    r.stop()
+    os.close(master)
+    os.close(slave)
+    mpc_sock.close()
+
+
+def test_uart_to_udp_and_back(uart_topology):
+    """Frames route serial->UDP and UDP->serial under the msg-id filters:
+    the full real-vehicle loop (FCU state out over the wire, motor
+    commands back onto it)."""
+    import os
+
+    r, master, mpc_sock, mpc_port = uart_topology
+
+    # FCU -> wire: id 367 must cross to the MPC endpoint (AllowMsgIdOut).
+    state = mav.encode_full_state(42, np.arange(13, dtype=np.float32))
+    os.write(master, state)
+    got, _ = mpc_sock.recvfrom(512)
+    assert got == bytes(state)
+
+    # MPC -> UDP -> wire: id 368 accepted in, written onto the serial line.
+    cmd = mav.encode_motors_cmd(7, [0.7] * 6, [0.7, 0, 0, 0], 5, 100)
+    mpc_sock.sendto(cmd, ("127.0.0.1", mpc_port))
+    back = b""
+    deadline = time.time() + 2.0
+    while len(back) < len(cmd) and time.time() < deadline:
+        back += os.read(master, 512)
+    msg = mav.decode_frame(back)
+    assert msg is not None and msg.get_type() == "MPC_MOTORS_CMD"
+    assert msg.time_usec == 7
+
+    # id 368 arriving FROM the FCU side is filtered out of the MPC leg
+    # (AllowMsgIdOut = 367 only).
+    os.write(master, cmd)
+    with pytest.raises(socket.timeout):
+        mpc_sock.settimeout(0.3)
+        mpc_sock.recvfrom(512)
+
+
+def test_uart_stream_reassembly(uart_topology):
+    """Serial is a byte stream: frames written fragmented, concatenated,
+    and after line noise must still come out whole (deframer resync)."""
+    import os
+
+    r, master, mpc_sock, mpc_port = uart_topology
+    f1 = mav.encode_full_state(1, np.zeros(13, np.float32), seq=1)
+    f2 = mav.encode_full_state(2, np.ones(13, np.float32), seq=2)
+
+    # fragmented mid-frame write
+    os.write(master, f1[:9])
+    time.sleep(0.05)
+    os.write(master, f1[9:])
+    got1, _ = mpc_sock.recvfrom(512)
+    assert got1 == bytes(f1)
+
+    # noise + two concatenated frames in one write
+    os.write(master, b"\x00\x11garbage" + f1 + f2)
+    got = {mpc_sock.recvfrom(512)[0], mpc_sock.recvfrom(512)[0]}
+    assert got == {bytes(f1), bytes(f2)}
+
+
+def test_deframer_unit():
+    """Deframer edge cases: v1+v2 mix, byte-at-a-time feed, magic byte
+    inside a payload must not desync (length-based walk)."""
+    from sde4mbrl_px4_tpu.io.router import Deframer
+
+    v2 = mav.encode_full_state(9, np.full(13, 0xFD / 255, np.float32))
+    v1 = bytes([0xFE, 3, 0, 1, 1, 0, 7, 7, 7, 0, 0])  # minimal v1 frame
+    d = Deframer()
+    out = []
+    for b in bytes(v2) + v1 + bytes(v2):
+        out += d.feed(bytes([b]))
+    assert out == [bytes(v2), v1, bytes(v2)]
+    # payload containing 0xFD magics (the state above encodes some) came
+    # through undamaged => the walk is length-based, not magic-scanning
+    # inside frames.
+    assert mav.decode_frame(out[0]).time_usec == 9
 
 
 def _heartbeat(armed: bool, seq: int = 0, compid: int = 1) -> bytes:
