@@ -229,6 +229,16 @@ class CompiledMPC:
     Reproduces the reference's compile-at-startup pipeline
     (``load_single_mpc``: ``jit(f).lower(args).compile()`` + warm call,
     ``sde_control.py:681-721``) so steady-state solves never trace.
+
+    ``apg_mpc.deadline_ms`` (optional config key) arms DEADLINE-AWARE
+    solving: the mpc executable is lowered with the solver's traced
+    ``iter_budget`` argument, and :meth:`iter_budget` converts the
+    configured per-solve deadline into an iteration cap using a measured
+    ms/iteration EWMA (fed back via :meth:`observe_solve`). This bounds
+    the solve-latency tail by the control period instead of only by the
+    plan-staleness pickup — the reference's budget is the FCU-side 20 ms
+    staleness watchdog (``basic_control.py:39``) with nothing bounding
+    the solver itself.
     """
 
     def __init__(self, cfg_path: str, seed: int = 0, convert_to_enu: bool = True):
@@ -247,6 +257,15 @@ class CompiledMPC:
         self.dt_usec = float(cfg["_time_steps"][0]) * 1e6
         self.seed = seed
 
+        apg_blk = cfg.get("apg_mpc") or {}
+        self.deadline_ms = float(apg_blk.get("deadline_ms") or 0.0)
+        self.deadline_min_iters = int(apg_blk.get("deadline_min_iters", 5))
+        self.max_iter = int(apg_blk.get("max_iter", 200))
+        # ms/iteration estimate, fed by observe_solve(). Until measured,
+        # budgets stay at max_iter (first solves run unconstrained — they
+        # are also the ones that calibrate the estimate).
+        self._iter_ms = None
+
         x0 = hover_state()
         rng = jax.random.PRNGKey(seed)
 
@@ -260,13 +279,49 @@ class CompiledMPC:
         self.default_opt_state = self.reset(x0, rng, x0)
         jax.block_until_ready(self.default_opt_state.yk)
 
-        self.mpc = (
-            jax.jit(mpc_fn)
-            .lower(x0, rng, self.default_opt_state, jnp.float32(0.01), x0)
-            .compile()
-        )
-        warm = self.mpc(x0, rng, self.default_opt_state, jnp.float32(0.01), x0)
+        if self.deadline_ms:
+            self.mpc = (
+                jax.jit(mpc_fn)
+                .lower(x0, rng, self.default_opt_state, jnp.float32(0.01),
+                       x0, jnp.int32(self.max_iter))
+                .compile()
+            )
+            warm = self.mpc(x0, rng, self.default_opt_state,
+                            jnp.float32(0.01), x0, jnp.int32(self.max_iter))
+        else:
+            self.mpc = (
+                jax.jit(mpc_fn)
+                .lower(x0, rng, self.default_opt_state, jnp.float32(0.01), x0)
+                .compile()
+            )
+            warm = self.mpc(x0, rng, self.default_opt_state,
+                            jnp.float32(0.01), x0)
         jax.block_until_ready(warm.u_opt)
+
+    # ---------------------------------------------- deadline-aware budgeting
+
+    def iter_budget(self) -> int:
+        """Iteration cap for the NEXT solve: ``deadline_ms`` over the
+        measured ms/iteration, floored at ``deadline_min_iters`` (progress
+        is guaranteed — the warm-start shift carries partial convergence
+        across doorbells) and capped at ``max_iter``. Unlimited until the
+        first measurement arrives."""
+        if not self.deadline_ms or self._iter_ms is None:
+            return self.max_iter
+        b = int(self.deadline_ms / max(self._iter_ms, 1e-3))
+        return max(self.deadline_min_iters, min(b, self.max_iter))
+
+    def observe_solve(self, solve_time_s: float, num_steps: float) -> None:
+        """Feed a measured (wall solve time, executed iterations) pair into
+        the ms/iteration EWMA. The wall time includes dispatch/transfer
+        overhead, so the estimate is biased HIGH and the resulting budgets
+        are conservative — the solver finishes inside the deadline with
+        margin rather than exactly at it."""
+        if not self.deadline_ms or num_steps < 1:
+            return
+        per = solve_time_s * 1e3 / float(num_steps)
+        self._iter_ms = (per if self._iter_ms is None
+                         else 0.7 * self._iter_ms + 0.3 * per)
 
 
 class RecedingHorizonController:
@@ -383,6 +438,14 @@ class RecedingHorizonController:
             self.budget_warn.record(record.solve_time, budget)
         return record
 
+    def _mpc_call(self, cm: CompiledMPC, x, rng, st, t, xdes):
+        """One solver dispatch, appending the deadline iteration budget
+        when the config arms it (``apg_mpc.deadline_ms`` — the executable
+        is then lowered with the traced budget argument)."""
+        if cm.deadline_ms:
+            return cm.mpc(x, rng, st, t, xdes, jnp.int32(cm.iter_budget()))
+        return cm.mpc(x, rng, st, t, xdes)
+
     def solve_async(self, x: np.ndarray, control_state: int,
                     trajec_time: float, target_x: np.ndarray,
                     sample_time_usec: float) -> tuple:
@@ -409,27 +472,27 @@ class RecedingHorizonController:
             # Hold current state: xdes = state expressed in the xdes frame
             # (involution; reference ``sde_control.py:400``).
             from sde4mbrl_px4_tpu.core.frames import ned2enu
-            sol = self.pos.mpc(x, self.rng_pos, self.opt_state_pos, jnp.float32(0.0), ned2enu(x))
+            sol = self._mpc_call(self.pos, x, self.rng_pos, self.opt_state_pos, jnp.float32(0.0), ned2enu(x))
             self.opt_state_pos, self.rng_pos = sol.opt_state, sol.rng
             used = self.opt_state_pos
         elif mode == "idle":
             self._curr_ctrl = "idle"
-            sol = self.pos.mpc(x, self.rng_pos, self.opt_state_pos, jnp.float32(0.0), target)
+            sol = self._mpc_call(self.pos, x, self.rng_pos, self.opt_state_pos, jnp.float32(0.0), target)
             self.opt_state_pos, self.rng_pos = sol.opt_state, sol.rng
             self._idle_traj = not self._idle_traj
             if self._idle_traj:
                 # Pre-warm the trajectory solver every 2nd tick (:402-408).
-                pre = self.traj.mpc(x, self.rng_traj, self.opt_state_traj, tt, x)
+                pre = self._mpc_call(self.traj, x, self.rng_traj, self.opt_state_traj, tt, x)
                 self.opt_state_traj, self.rng_traj = pre.opt_state, pre.rng
             used = self.opt_state_traj
         elif mode == "traj":
             self._curr_ctrl = "traj"
-            sol = self.traj.mpc(x, self.rng_traj, self.opt_state_traj, tt, x)
+            sol = self._mpc_call(self.traj, x, self.rng_traj, self.opt_state_traj, tt, x)
             self.opt_state_traj, self.rng_traj = sol.opt_state, sol.rng
             used = self.opt_state_traj
         elif mode == "pos":
             self._curr_ctrl = "pos"
-            sol = self.pos.mpc(x, self.rng_pos, self.opt_state_pos, jnp.float32(0.0), target)
+            sol = self._mpc_call(self.pos, x, self.rng_pos, self.opt_state_pos, jnp.float32(0.0), target)
             self.opt_state_pos, self.rng_pos = sol.opt_state, sol.rng
             used = self.opt_state_pos
         else:
@@ -499,6 +562,10 @@ class RecedingHorizonController:
         self.plan_is_traj = mode == "traj"
 
         avg_ls, stepsize, num_steps, grad_sqr, avg_stepsize, c0, cT = stats_host
+        # Deadline budgeting: calibrate the producing solver's ms/iteration
+        # EWMA from this measured (wall time, iterations) pair.
+        (self.traj if mode == "traj" else self.pos).observe_solve(
+            solve_time, float(num_steps))
         self.last_record = OptMPCStateRecord(
             stamp=time.time(), avg_linesearch=float(avg_ls),
             avg_stepsize=float(avg_stepsize), stepsize=float(stepsize),

@@ -59,6 +59,8 @@ reference-parity behavior):
 """
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import warnings
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
@@ -119,6 +121,57 @@ def _resolve_model(cfg: Dict[str, Any]) -> Tuple[NeuralSDE, Dict[str, Any]]:
         params = init_params(jax.random.PRNGKey(0), model)
     params = jax.tree.map(jnp.asarray, params)
     return model, params
+
+
+_PRECOND_VERSION = "hover_diag-v1"
+
+
+def _precond_cache_paths(cfg: Dict[str, Any], key: str) -> list:
+    """Candidate cache files for a precomputed preconditioner, most
+    preferred first: next to the model checkpoint (ships as a committed
+    artifact with the flagship configs), else a per-user cache dir."""
+    cands = []
+    env = os.environ.get("SDE4MBRL_PRECOND_CACHE")
+    if env:
+        cands.append(os.path.join(env, f"{key}.npy"))
+    ckpt = cfg.get("learned_model_params")
+    if ckpt:
+        ckpt = os.path.expanduser(ckpt)
+        if os.path.exists(ckpt):
+            cands.append(os.path.join(os.path.dirname(ckpt), "precond",
+                                      f"{key}.npy"))
+    cands.append(os.path.join(os.path.expanduser("~"), ".cache",
+                              "sde4mbrl_px4_tpu", "precond", f"{key}.npy"))
+    return cands
+
+
+def _precond_cache_key(cfg: Dict[str, Any], vehicle_name: str,
+                       time_steps_np: np.ndarray, lb_np: np.ndarray,
+                       ub_np: np.ndarray, nZ: int,
+                       convert_to_enu: bool) -> str:
+    """Content hash of every input the hover_diag probe depends on: the
+    checkpoint bytes (or the fresh-init tag), the cost/constraint config,
+    the horizon schedule, the input box, and the trajectory table bytes.
+    Formula changes bump ``_PRECOND_VERSION``."""
+    h = hashlib.sha256()
+    h.update(_PRECOND_VERSION.encode())
+    ckpt = os.path.expanduser(cfg.get("learned_model_params") or "")
+    if ckpt and os.path.exists(ckpt):
+        with open(ckpt, "rb") as f:
+            h.update(f.read())
+    else:
+        h.update(f"fresh:{vehicle_name}".encode())
+    for k in ("cost_params", "state_constr", "input_constr"):
+        h.update(json.dumps(cfg.get(k), sort_keys=True, default=str).encode())
+    h.update(np.asarray(time_steps_np, np.float64).tobytes())
+    h.update(np.asarray(lb_np).tobytes())
+    h.update(np.asarray(ub_np).tobytes())
+    h.update(f"nZ={nZ};enu={bool(convert_to_enu)}".encode())
+    traj = os.path.expanduser(cfg.get("trajectory_path") or "")
+    if traj and os.path.exists(traj):
+        with open(traj, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:24]
 
 
 def _pallas_default() -> bool:
@@ -325,9 +378,13 @@ def make_mpc_from_config(
                     "to serve an untrained hover policy in its place. Train "
                     "one with learning/distill.py (save_policy), or drop "
                     "params_path to explicitly request an untrained init.")
+            # lb_np/ub_np + a numpy uref: np.asarray on the device arrays
+            # would be a load-path device->host fetch (see precond note).
+            uref_np = np.broadcast_to(np.asarray(
+                cfg["cost_params"]["uref"], np.float32), (n_u,))
             policy_net = jax.tree.map(jnp.asarray, _policy_mod.init_policy(
                 jax.random.PRNGKey(int(cfg.get("seed", 0))), H, n_u,
-                np.asarray(lb), np.asarray(ub), np.asarray(cost_params.uref),
+                lb_np, ub_np, uref_np,
                 hidden=tuple(pol_block.get("hidden", (256, 256)))))
         _policy_apply = _policy_mod.policy_apply
         _policy_featurize = _policy_mod.featurize
@@ -417,38 +474,76 @@ def make_mpc_from_config(
     precond_diag = None
     if precond_mode == "hover_diag" and solver_kind in ("apg", "policy"):
         nZ_p = n_u + prox_m
-        if state_from_traj is not None:
-            ref0 = state_from_traj(knot_times)
-            x_ref_p = enu2ned(ref0) if convert_to_enu else ref0
-        else:
-            from sde4mbrl_px4_tpu.core.types import hover_state
-            x_ref_p = jnp.broadcast_to(hover_state(), (H + 1, 13))
-        x_p = x_ref_p[0]
-        u_prev_p = z_hover[0, :n_u]
-        rng_p = jax.random.PRNGKey(0)
+        # The probe is a pure function of the load inputs, and its H*nZ
+        # vmapped HVPs are the single most expensive compile of node
+        # bring-up (~60 s on the v5e; measured round 4). Disk-cache the
+        # RESULT keyed by a content hash of every input — the flagship
+        # configs ship the precomputed artifact next to their checkpoint
+        # (configs/models/precond/), so a cold process loads 80 floats
+        # instead of compiling an HVP program. Also makes the metric
+        # bit-identical across backends (CPU tests load the same artifact
+        # the TPU engine uses).
+        pkey = _precond_cache_key(cfg, model.vehicle.name, time_steps_np,
+                                  lb_np, ub_np, nZ_p, convert_to_enu)
+        pcands = _precond_cache_paths(cfg, pkey)
+        precond_np = None
+        for cand in pcands:
+            if os.path.exists(cand):
+                try:
+                    precond_np = np.load(cand)
+                except Exception:  # corrupt cache: recompute below
+                    precond_np = None
+                if (precond_np is not None
+                        and precond_np.shape == (H, nZ_p)):
+                    break
+                precond_np = None
+        if precond_np is None:
+            if state_from_traj is not None:
+                ref0 = state_from_traj(knot_times)
+                x_ref_p = enu2ned(ref0) if convert_to_enu else ref0
+            else:
+                from sde4mbrl_px4_tpu.core.types import hover_state
+                x_ref_p = jnp.broadcast_to(hover_state(), (H + 1, 13))
+            x_p = x_ref_p[0]
+            u_prev_p = z_hover[0, :n_u]
+            rng_p = jax.random.PRNGKey(0)
 
-        def _cost_probe(z_seq):
-            u_seq = z_seq[:, :n_u] if prox_m else z_seq
-            s_seq = z_seq[:, n_u:] if prox_m else None
-            x_paths, sigmas = rollout_sde(
-                model, params, x_p, u_seq, time_steps, rng_p, 1,
-                deterministic=True)
-            return cost_fn(x_paths, sigmas, u_seq, x_ref_p, u_prev_p,
-                           s_seq=s_seq)
+            def _cost_probe(z_seq):
+                u_seq = z_seq[:, :n_u] if prox_m else z_seq
+                s_seq = z_seq[:, n_u:] if prox_m else None
+                x_paths, sigmas = rollout_sde(
+                    model, params, x_p, u_seq, time_steps, rng_p, 1,
+                    deterministic=True)
+                return cost_fn(x_paths, sigmas, u_seq, x_ref_p, u_prev_p,
+                               s_seq=s_seq)
 
-        _g_probe = jax.grad(_cost_probe)
+            _g_probe = jax.grad(_cost_probe)
 
-        def _hess_diag(i):
-            e = jnp.zeros((H * nZ_p,)).at[i].set(1.0).reshape(H, nZ_p)
-            return jnp.sum(jax.jvp(_g_probe, (z_hover,), (e,))[1] * e)
+            def _hess_diag(i):
+                e = jnp.zeros((H * nZ_p,)).at[i].set(1.0).reshape(H, nZ_p)
+                return jnp.sum(jax.jvp(_g_probe, (z_hover,), (e,))[1] * e)
 
-        d = jax.jit(jax.vmap(_hess_diag))(jnp.arange(H * nZ_p))
-        d = jnp.reshape(d, (H, nZ_p))
-        # Strictly positive metric: floor at a fraction of the peak so a
-        # (near-)flat or locally concave direction cannot blow the step up.
-        d = jnp.maximum(d, 1e-4 * jnp.max(d))
-        precond_diag = jax.device_get(jnp.min(d) / d)  # max(D) == 1
-        precond_diag = jnp.asarray(precond_diag, jnp.float32)
+            d = jax.jit(jax.vmap(_hess_diag))(jnp.arange(H * nZ_p))
+            d = jnp.reshape(d, (H, nZ_p))
+            # Strictly positive metric: floor at a fraction of the peak so
+            # a (near-)flat or locally concave direction cannot blow the
+            # step up.
+            d = jnp.maximum(d, 1e-4 * jnp.max(d))
+            # np.asarray here is a device->host fetch — acceptable ONLY on
+            # the cache-miss path (one-time per config content; the
+            # artifact ships for the flagship configs). max(D) == 1.
+            precond_np = np.asarray(jnp.min(d) / d, np.float32)
+            for cand in pcands:
+                try:
+                    os.makedirs(os.path.dirname(cand), exist_ok=True)
+                    tmp = f"{cand}.tmp.{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        np.save(f, precond_np)
+                    os.replace(tmp, cand)
+                    break
+                except OSError:
+                    continue  # read-only install: try the next location
+        precond_diag = jnp.asarray(precond_np, jnp.float32)
 
     def reset_fn(x: jax.Array, rng: jax.Array, xdes: jax.Array) -> APGState:
         """State-aware warm-start initializer (contract:
@@ -498,7 +593,15 @@ def make_mpc_from_config(
         opt_state: APGState,
         curr_t: jax.Array = 0.0,
         xdes: Optional[jax.Array] = None,
+        iter_budget: Optional[jax.Array] = None,
     ) -> MPCSolution:
+        """(docstring: module header). ``iter_budget`` (optional traced
+        scalar int) is the deadline-aware iteration cap for the APG solver
+        families (``solver/apg.py::apg_solve(iter_budget=...)``); the
+        engine computes it per solve from the remaining control period
+        (``apg_mpc.deadline_ms``, engine/controller.py). Ignored by the
+        mppi/pure-policy families (their per-solve cost is fixed by
+        samples/topology, not an iteration loop)."""
         x = jnp.asarray(x, jnp.float32)
         xdes = x if xdes is None else jnp.asarray(xdes, jnp.float32)
         if convert_to_enu and state_from_traj is None:
@@ -585,7 +688,7 @@ def make_mpc_from_config(
                     u_prev, noise_p, P, lb_z, ub_z, opt_state.yk,
                     interpret=pallas_interpret, chunk=pallas_chunk,
                     t_init=t_carry, return_traj=fuse_traj,
-                    precond=precond_diag,
+                    precond=precond_diag, iter_budget=iter_budget,
                 )
                 if fuse_traj:
                     st, x_evol = st
@@ -654,7 +757,8 @@ def make_mpc_from_config(
             # skip the init_stepsize->workable ramp (~13 iterations at x1.3;
             # measured); gated on reset_option (see t_carry above).
             st = apg_solve(seq_cost, opt_state.yk, lb_z, ub_z, apg_cfg,
-                           t_init=t_carry, precond=precond_diag)
+                           t_init=t_carry, precond=precond_diag,
+                           iter_budget=iter_budget)
         z_opt = st.yk                               # (H, nZ)
         u_opt = z_opt[:, :n_u] if prox_m else z_opt
 

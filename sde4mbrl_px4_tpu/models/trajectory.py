@@ -34,10 +34,18 @@ _REQUIRED = ("t", "x", "y", "z", "vx", "vy", "vz", "ax", "ay", "az", "yaw")
 
 
 class TrajectoryTable(NamedTuple):
-    """Dense knot table: times (N,) and 13-states (N, 13)."""
+    """Dense knot table: times (N,) and 13-states (N, 13).
 
-    times: jax.Array
-    states: jax.Array
+    Host-resident (numpy) by design: the table is load-time CSV output and
+    becomes on-device constants only when :func:`make_state_from_traj`
+    builds the sampler. Keeping the load path free of device round trips
+    matters operationally — on tunneled dev backends the FIRST device->host
+    fetch of a process costs minutes (measured 170-412 s; the round-3
+    bench's 240 s "startup" was this penalty hiding in the CSV
+    preprocessing, not compilation)."""
+
+    times: np.ndarray
+    states: np.ndarray
 
     @property
     def duration(self) -> float:
@@ -75,8 +83,15 @@ def parse_trajectory_csv(text: str, convert_to_ned: bool = True) -> TrajectoryTa
     yaw = data[:, idx["yaw"]]
 
     # Differential-flatness attitude in ENU: body z along (a + g_up).
+    # Pinned to the CPU backend: this is host-side preprocessing — routing
+    # it through the accelerator would pay a device->host round trip at
+    # LOAD time (first fetch of a process costs minutes on tunneled dev
+    # backends) for a handful of elementwise ops.
     g_up = np.array([0.0, 0.0, _G])
-    q = np.asarray(quat.acc_yaw_to_q(jnp.asarray(acc + g_up), jnp.asarray(yaw)))
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        q = np.asarray(quat.acc_yaw_to_q(jnp.asarray(acc + g_up),
+                                         jnp.asarray(yaw)))
 
     # Body-rate prior: yaw rate about body z only (the CSV carries no rates;
     # the reference baseline also only tracks yaw kinematics).
@@ -88,8 +103,10 @@ def parse_trajectory_csv(text: str, convert_to_ned: bool = True) -> TrajectoryTa
 
     states = np.concatenate([pos, vel, q, omega], axis=-1).astype(np.float32)
     if convert_to_ned:
-        states = np.asarray(enu2ned(jnp.asarray(states)))
-    return TrajectoryTable(times=jnp.asarray(t, jnp.float32), states=jnp.asarray(states))
+        with jax.default_device(cpu):
+            states = np.asarray(enu2ned(jnp.asarray(states)))
+    return TrajectoryTable(times=np.asarray(t, np.float32),
+                           states=np.asarray(states, np.float32))
 
 
 def make_state_from_traj(table: TrajectoryTable) -> Callable[[jax.Array], jax.Array]:
@@ -104,13 +121,17 @@ def make_state_from_traj(table: TrajectoryTable) -> Callable[[jax.Array], jax.Ar
     dynamic gathers on TPU and dominated the per-solve reference build
     (~0.8 ms measured on v5e) before this.
     """
-    times, states = table.times, table.states
+    # The table arrives host-resident (numpy); upload once here — the
+    # closure's constants then live on the solve device. (Accepts legacy
+    # device-array tables too: jnp.asarray is then a no-op.)
+    times = jnp.asarray(table.times, jnp.float32)
+    states = jnp.asarray(table.states, jnp.float32)
 
     # Host-side uniformity check (trace-time constant). Knot times are
     # float32, so successive diffs of a truly uniform grid wobble by up to
     # ~eps(t_max); tolerate that plus 0.1% relative jitter (an index off by
     # one at a knot boundary only clamps alpha, the lerp stays continuous).
-    tn = np.asarray(times, np.float64)
+    tn = np.asarray(table.times, np.float64)
     dts = np.diff(tn)
     tol = 1e-3 * abs(dts[0]) + 8 * np.finfo(np.float32).eps * max(
         1.0, abs(tn[-1])) if dts.size else 0.0

@@ -81,6 +81,7 @@ def pallas_apg_solve(
     t_init: jax.Array | None = None,
     return_traj: bool = False,
     precond: jax.Array | None = None,
+    iter_budget: jax.Array | None = None,
 ) -> APGState:
     """One fused APG solve -> APGState (yk = best iterate, unshifted).
 
@@ -101,7 +102,14 @@ def pallas_apg_solve(
     ``reset_option: bb`` (Barzilai–Borwein trial stepsize from the secant
     pair at consecutive extrapolated points) mirror
     ``solver/apg.py::apg_solve`` exactly; see the curvature analysis there
-    and in ``tools/curvature_probe.py``."""
+    and in ``tools/curvature_probe.py``.
+
+    ``iter_budget``: optional TRACED iteration cap (scalar int; an SMEM
+    scalar inside the kernel) — the deadline-aware hook, semantics
+    identical to ``solver/apg.py::apg_solve(iter_budget=...)``: the APG
+    while loop runs at most ``min(max_iter, max(iter_budget, 1))``
+    iterations and the warm-start shift carries partial progress to the
+    next solve."""
     H = int(time_steps.shape[0])
     n = model.n_u
     P = int(num_particles)
@@ -134,6 +142,7 @@ def pallas_apg_solve(
     CONSERVATIVE = apg.reset_option not in ("increase", "bb")
     MOM_RESTART = bool(apg.momentum_restart)
     HAS_PRE = precond is not None
+    HAS_BUDGET = iter_budget is not None
     if return_traj and not (deterministic and Pc == 1 and not chunk):
         raise ValueError(
             "return_traj requires a deterministic unchunked P=1 solve (the "
@@ -141,6 +150,8 @@ def pallas_apg_solve(
     n_out = 3 if return_traj else 2
 
     def _kernel(u0_ref, t0_ref, *refs):
+        if HAS_BUDGET:
+            ib_ref, refs = refs[0], refs[1:]
         if HAS_PRE:
             pre_ref, refs = refs[0], refs[1:]
         const_refs = refs[:n_const]
@@ -251,9 +262,16 @@ def pallas_apg_solve(
         u0 = proj1(u0_ref[:])
         f0 = vg(u0)
 
+        # Deadline-aware iteration cap (SMEM scalar; see docstring).
+        if HAS_BUDGET:
+            kmax = jnp.minimum(jnp.int32(apg.max_iter),
+                               jnp.maximum(ib_ref[0, 0], 1))
+        else:
+            kmax = apg.max_iter
+
         def cond(c):
             k, done = c[0], c[9]
-            return jnp.logical_and(k < apg.max_iter, jnp.logical_not(done))
+            return jnp.logical_and(k < kmax, jnp.logical_not(done))
 
         def body(c):
             (k, k_m, u, y, f_u, t, best_f, best_u, no_imp, done,
@@ -376,6 +394,10 @@ def pallas_apg_solve(
         out_shape.append(jax.ShapeDtypeStruct((H + 1, 1, 13), f32))
     pre_args = []
     pre_specs = []
+    if HAS_BUDGET:
+        pre_args.append(jnp.reshape(
+            jnp.asarray(iter_budget, jnp.int32), (1, 1)))
+        pre_specs.append(_smem)
     if HAS_PRE:
         pre_args.append(jnp.broadcast_to(
             jnp.asarray(precond, f32), (H, nZ)).reshape(H, 1, nZ))

@@ -178,6 +178,7 @@ def apg_solve(
     cfg: APGConfig,
     t_init: Optional[jax.Array] = None,
     precond: Optional[jax.Array] = None,
+    iter_budget: Optional[jax.Array] = None,
 ) -> APGState:
     """Minimize ``cost_fn`` over box-constrained control sequences.
 
@@ -207,6 +208,18 @@ def apg_solve(
     trajectory; measured on the flagship config, ``tools/curvature_probe.py``)
     and conditioning sets the APG iteration count — equalizing the diagonal
     cuts warm iterations ~2× (``tools/iter_ab.py``).
+
+    ``iter_budget``: optional TRACED iteration cap (scalar int) — the
+    deadline-aware hook. The while loop stops at
+    ``min(cfg.max_iter, iter_budget)``; the engine converts its remaining
+    control-period budget to iterations via a measured ms/iteration
+    estimate (``engine/controller.py``), and the receding-horizon
+    warm-start shift carries the partial progress to the next doorbell —
+    bounding the solve tail by the deadline instead of only by plan
+    staleness (the reference's only guard is the FCU-side 20 ms staleness
+    watchdog, ``basic_control.py:39``). ``None`` keeps the static bound
+    (bit-identical solves). Values < 1 are clamped to 1 (a doorbell always
+    buys at least one accepted-step attempt).
     """
     oracle = cost_fn if isinstance(cost_fn, CostOracle) else CostOracle.from_fn(cost_fn)
     cost_fn = oracle.value
@@ -289,8 +302,15 @@ def apg_solve(
         n_ls = jnp.where(any_ok, idx + 1, K).astype(jnp.int32)
         return u_ts[idx], f_ts[idx], t, n_ls, any_ok
 
+    if iter_budget is None:
+        kmax = jnp.int32(cfg.max_iter)
+    else:
+        kmax = jnp.minimum(
+            jnp.int32(cfg.max_iter),
+            jnp.maximum(jnp.asarray(iter_budget, jnp.int32), 1))
+
     def outer_cond(c: _Carry) -> jax.Array:
-        return jnp.logical_and(c.k < cfg.max_iter, jnp.logical_not(c.done))
+        return jnp.logical_and(c.k < kmax, jnp.logical_not(c.done))
 
     def outer_body(c: _Carry) -> _Carry:
         f_y, g = vg(c.y)
