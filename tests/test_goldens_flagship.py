@@ -1,0 +1,101 @@
+"""Full-flagship golden traces (VERDICT r3 item 5).
+
+The tiny-config goldens in test_determinism.py anchor the engine logic;
+these anchor the SHIPPED flight configs — H=20, full 200-iteration APG
+budget, the committed preconditioner artifact, both vehicles — so the
+"bit-tolerance-matched command sequences" regression net covers what
+actually flies (reference budget surface:
+``/root/reference/launch/iris_sitl_traj_mpc.yaml:44-61``).
+
+Traces replay a pinned MPC_FULL_STATE sequence through the real
+RecedingHorizonController (solve + time-indexed pickup) in both pos and
+traj modes, on CPU in f32 (the reference's verification arithmetic,
+``sde_control.py:6``). Regenerate deliberately with
+``SDE4MBRL_REGEN_GOLDEN=1`` and justify the numerical change in the
+commit message.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from sde4mbrl_px4_tpu.core.frames import enu2ned
+from sde4mbrl_px4_tpu.core.types import CONTROL_STATES, hover_state
+
+_GOLD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "goldens")
+
+
+@pytest.fixture(scope="module", params=["iris", "hexa"])
+def flagship(request, repo_root):
+    """One dual-solver controller per vehicle, on the SHIPPED configs."""
+    from sde4mbrl_px4_tpu.engine.controller import RecedingHorizonController
+
+    v = request.param
+    c = RecedingHorizonController(
+        os.path.join(repo_root, f"configs/{v}_traj_mpc.yaml"),
+        os.path.join(repo_root, f"configs/{v}_posctrl_mpc.yaml"),
+        seed=0, now_fn=lambda: 0.0)
+    yield v, c
+    c.close()
+
+
+def _replay_traj(c, n=6, traj_t0=3.0):
+    """Trajectory-mode replay: the vehicle tracks the reference, so the
+    pinned plant states sample the trajectory itself (the steady
+    warm-started receding-horizon window the bench also pins)."""
+    cmds = []
+    for k in range(n):
+        x = np.asarray(enu2ned(
+            c.traj.state_from_traj(np.float32(traj_t0 + 0.05 * k))),
+            np.float32)
+        t_usec = 1e6 + k * 50_000.0
+        rec = c.solve_once(x, CONTROL_STATES["traj"], traj_t0 + 0.05 * k,
+                           np.asarray(hover_state()), t_usec)
+        assert rec.num_steps >= 1
+        u6, w4, idx = c.pick_command(t_usec)
+        cmds.append(np.concatenate([u6, w4, [idx]]))
+    return np.stack(cmds)
+
+
+def _replay_pos(c, n=6):
+    rs = np.random.RandomState(7)
+    x0 = np.array(enu2ned(hover_state()), np.float32)
+    cmds = []
+    for k in range(n):
+        x_k = x0 + 0.05 * rs.randn(13).astype(np.float32)
+        x_k[6:10] /= np.linalg.norm(x_k[6:10])
+        t_usec = 1e6 + k * 50_000.0
+        c.solve_once(x_k, CONTROL_STATES["pos"], -1.0,
+                     np.asarray(hover_state()), t_usec)
+        u6, w4, idx = c.pick_command(t_usec)
+        cmds.append(np.concatenate([u6, w4, [idx]]))
+    return np.stack(cmds)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["pos", "traj"])
+def test_flagship_command_trace_matches_golden(flagship, mode):
+    v, c = flagship
+    tr = _replay_pos(c) if mode == "pos" else _replay_traj(c)
+    n_u = c.traj.n_u
+    assert np.all(np.isfinite(tr))
+    u = tr[:, :6]
+    assert np.all(u[:, :n_u] >= 1e-4 - 1e-7)
+    assert np.all(u[:, :n_u] <= 1.0 + 1e-7)
+    np.testing.assert_allclose(u[:, n_u:], 0.0)       # zero-padded to 6
+
+    path = os.path.join(_GOLD_DIR, f"{v}_{mode}_flagship_trace.npz")
+    if os.environ.get("SDE4MBRL_REGEN_GOLDEN") == "1":
+        os.makedirs(_GOLD_DIR, exist_ok=True)
+        np.savez(path, trace=tr)
+        pytest.skip("golden regenerated")
+    if not os.path.exists(path):
+        pytest.fail(f"golden {path} missing — regenerate with "
+                    "SDE4MBRL_REGEN_GOLDEN=1")
+    ref = np.load(path)["trace"]
+    assert ref.shape == tr.shape
+    # f32 CPU XLA is deterministic for a fixed jaxlib; across jaxlib
+    # versions fusion may reassociate — tolerance, not equality. The
+    # command scale is ~0.7 motor-units, so 1e-4 abs ≈ 0.015% of span.
+    np.testing.assert_allclose(tr, ref, atol=1e-4, rtol=1e-4)
