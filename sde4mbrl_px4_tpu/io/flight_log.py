@@ -19,8 +19,9 @@ import numpy as np
 
 __all__ = ["FlightRecorder", "load_flight_log", "tlog_to_flight_log"]
 
-_FIELDS = ("t", "state", "cmd_motors", "cmd_thrust_rates", "ref", "mpc_on",
-           "weight_motors", "solve_time", "num_steps", "opt_cost", "mpc_indx")
+_FIELDS = ("t", "state", "motors", "cmd_motors", "cmd_thrust_rates", "ref",
+           "mpc_on", "weight_motors", "solve_time", "num_steps", "opt_cost",
+           "mpc_indx")
 
 
 class FlightRecorder:
@@ -35,10 +36,17 @@ class FlightRecorder:
                ref: Optional[np.ndarray] = None,
                mpc_on: int = 0, weight_motors: int = 0,
                solve_time: float = 0.0, num_steps: int = 0,
-               opt_cost: float = 0.0, mpc_indx: int = 0) -> None:
+               opt_cost: float = 0.0, mpc_indx: int = 0,
+               motors: Optional[np.ndarray] = None) -> None:
+        """``motors`` = ACHIEVED motor outputs (the m1..m4 readings the FCU
+        reports in MPC_FULL_STATE) vs ``cmd_motors`` = COMMANDED — the pair
+        the reference's v3 layout overlays (``actuator_motors/control`` vs
+        ``mpc_motors_cmd/motor_val_des``, ``new_analyze_mpc_v3.xml``)."""
         self._rows.append(dict(
             t=float(t),
             state=np.asarray(state, np.float32).copy(),
+            motors=(np.zeros(4, np.float32) if motors is None
+                    else np.asarray(motors, np.float32).copy()),
             cmd_motors=(np.zeros(6, np.float32) if cmd_motors is None
                         else np.asarray(cmd_motors, np.float32).copy()),
             cmd_thrust_rates=(np.zeros(4, np.float32) if cmd_thrust_rates is None
@@ -105,7 +113,7 @@ def tlog_to_flight_log(path: str) -> Dict[str, np.ndarray]:
                       cmd_thrust_rates=last_cmd.thrust_and_angrate_des,
                       mpc_on=int(last_cmd.mpc_on),
                       weight_motors=int(last_cmd.weight_motors))
-        rec.record(msg.time_usec * 1e-6, msg.state, **kw)
+        rec.record(msg.time_usec * 1e-6, msg.state, motors=msg.motors, **kw)
     if not len(rec):
         raise ValueError(f"{path}: no decodable MPC_FULL_STATE frames")
     return rec.arrays()

@@ -338,7 +338,14 @@ def flight_log_to_ulog(log: Dict[str, np.ndarray], path: str) -> None:
     }
     cm = np.asarray(log.get("cmd_motors", np.zeros((len(t_usec), 6))),
                     np.float32)
-    topics["actuator_motors"] = {"timestamp": t_usec, "control": cm}
+    # actuator_motors = ACHIEVED outputs (PX4 semantics) when the log
+    # carries the FCU's m1..m4 readings; legacy logs without them fall
+    # back to the commanded values so existing layouts keep rendering.
+    am = np.asarray(log.get("motors", np.zeros((len(t_usec), 4))),
+                    np.float32)
+    have_achieved = bool(np.any(am))
+    topics["actuator_motors"] = {
+        "timestamp": t_usec, "control": am if have_achieved else cm}
     tr = np.asarray(log.get("cmd_thrust_rates", np.zeros((len(t_usec), 4))),
                     np.float32)
     topics["vehicle_rates_setpoint"] = {
@@ -347,6 +354,24 @@ def flight_log_to_ulog(log: Dict[str, np.ndarray], path: str) -> None:
         "thrust_body": np.stack(
             [np.zeros_like(tr[:, 0]), np.zeros_like(tr[:, 0]), -tr[:, 0]],
             axis=1),
+    }
+    # The raw MPC command channel under its own topic — the curves the
+    # reference's v3 layout overlays against the achieved motors/rates
+    # (``new_analyze_mpc_v3.xml``: mpc_motors_cmd/motor_val_des.* vs
+    # actuator_motors/control.*, thrust_and_angrate_des.* vs
+    # vehicle_angular_velocity/xyz.*; ported layout:
+    # configs/layouts/pj_mpc_cmd_vs_achieved.xml). Both channels here are
+    # NED/FRD body frame, so no sign flips are needed in the layout (the
+    # reference's -1 scales compensate its own frame mix).
+    mpc_on = np.asarray(log.get("mpc_on", np.zeros(len(t_usec))), np.float32)
+    wm = np.asarray(log.get("weight_motors", np.zeros(len(t_usec))),
+                    np.float32)
+    topics["mpc_motors_cmd"] = {
+        "timestamp": t_usec,
+        "motor_val_des": cm,
+        "thrust_and_angrate_des": tr,
+        "mpc_on": mpc_on,
+        "weight_motors": wm,
     }
     write_ulog(path, topics,
                start_ts_usec=int(t_usec[0]) if len(t_usec) else 0)

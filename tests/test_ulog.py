@@ -204,15 +204,44 @@ def test_ulog_ref_column_is_nan(tmp_path):
     assert np.isnan(back["ref"]).all()
 
 
-def test_committed_layout_matches_exported_topics(tmp_path):
-    """The shipped PlotJuggler layout (configs/layouts/pj_mpc_tracking.xml,
-    our analogue of the reference's committed dashboards) references only
+def test_mpc_motors_cmd_topic_and_achieved_motors(tmp_path):
+    """The export separates COMMANDED (mpc_motors_cmd — the reference's own
+    topic, curves of new_analyze_mpc_v3.xml) from ACHIEVED motors
+    (actuator_motors, from the FCU's m1..m4 readings when the log carries
+    them; commanded fallback otherwise for legacy logs)."""
+    log = _mklog(n=12)
+    log["motors"] = np.tile(np.linspace(0.31, 0.61, 4, dtype=np.float32),
+                            (12, 1))
+    p = str(tmp_path / "cmd.ulg")
+    flight_log_to_ulog(log, p)
+    d = read_ulog(p)["data"]
+    np.testing.assert_allclose(d["mpc_motors_cmd"]["motor_val_des"],
+                               log["cmd_motors"], atol=1e-6)
+    np.testing.assert_allclose(d["mpc_motors_cmd"]["thrust_and_angrate_des"],
+                               log["cmd_thrust_rates"], atol=1e-6)
+    assert np.all(d["mpc_motors_cmd"]["mpc_on"] == 5)
+    # achieved motors land in actuator_motors
+    np.testing.assert_allclose(d["actuator_motors"]["control"],
+                               log["motors"], atol=1e-6)
+    # legacy log without achieved readings: commanded fallback
+    p2 = str(tmp_path / "legacy.ulg")
+    flight_log_to_ulog(_mklog(n=12), p2)
+    d2 = read_ulog(p2)["data"]
+    np.testing.assert_allclose(d2["actuator_motors"]["control"],
+                               _mklog(n=12)["cmd_motors"], atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["pj_mpc_tracking.xml",
+                                  "pj_mpc_cmd_vs_achieved.xml"])
+def test_committed_layout_matches_exported_topics(tmp_path, name):
+    """Every shipped PlotJuggler layout (incl. the commanded-vs-achieved
+    port of the reference's new_analyze_mpc_v3.xml) references only
     topics/fields that flight_log_to_ulog actually exports — a layout that
     opens empty is a broken asset."""
     import xml.etree.ElementTree as ET
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    layout = os.path.join(root, "configs", "layouts", "pj_mpc_tracking.xml")
+    layout = os.path.join(root, "configs", "layouts", name)
     tree = ET.parse(layout)                      # well-formed XML
     curves = [c.get("name") for c in tree.iter("curve")]
     curves += [c.get("curve_x") for c in tree.iter("curve")

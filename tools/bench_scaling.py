@@ -27,6 +27,96 @@ os.environ.setdefault(
 )
 
 
+def process_sweep(counts, b_per_dev, iters, steps, devices_per_proc, out):
+    """Weak-scaling efficiency across 1..N localhost PROCESSES (the DCN
+    proxy without a pod, VERDICT r3 item 6): each count spawns that many
+    jax.distributed CPU processes, runs a fixed scenarios-per-device
+    batched-MPC loop, and records solves/s/device + launch-sync overhead.
+    Emits the curve to ``out`` (SCALING.json — the committed artifact)."""
+    import shutil
+    import socket
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "_scaling_worker.py")
+    # Pin each worker to one core: an XLA CPU device otherwise spreads its
+    # op over the host's thread pool, so unpinned workers contend and the
+    # curve measures host oversubscription instead of framework overhead.
+    taskset = shutil.which("taskset")
+    ncores = os.cpu_count() or 1
+    def run_workers(nproc, mode):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        res = os.path.join(tempfile.mkdtemp(), "r.json")
+        t_spawn = time.time()
+        procs = [
+            subprocess.Popen(
+                ([taskset, "-c", str(pid % ncores)] if taskset else [])
+                + [sys.executable, worker, str(pid), str(nproc), str(port),
+                   str(devices_per_proc), str(b_per_dev), str(iters),
+                   str(steps), res, repr(t_spawn), mode],
+                cwd=os.path.join(here, ".."),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for pid in range(nproc)
+        ]
+        logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        for p, lg in zip(procs, logs):
+            if p.returncode != 0:
+                print(lg[-2000:], file=sys.stderr)
+                raise RuntimeError(f"worker failed (nproc={nproc}, {mode})")
+        if mode == "solo":
+            total = 0.0
+            for pid in range(nproc):
+                with open(f"{res}.{pid}") as f:
+                    total += json.load(f)["solves_per_sec"]
+            return {"solves_per_sec": round(total, 1)}
+        with open(res) as f:
+            return json.load(f)
+
+    rows = []
+    for nproc in counts:
+        row = run_workers(nproc, "dist")
+        # Solo baseline at the same process count: N independent programs,
+        # same pinning — the denominator that isolates multi-process
+        # dispatch overhead from plain host contention.
+        solo = run_workers(nproc, "solo")
+        row["solo_solves_per_sec"] = solo["solves_per_sec"]
+        row["dispatch_overhead_vs_solo"] = round(
+            1.0 - row["solves_per_sec"] / solo["solves_per_sec"], 3)
+        rows.append(row)
+        print(f"nproc={nproc}: dist {row['solves_per_sec']} vs solo "
+              f"{row['solo_solves_per_sec']} solves/s "
+              f"(dispatch overhead {row['dispatch_overhead_vs_solo']:.1%}), "
+              f"launch+sync {row['launch_sync_s']}s", file=sys.stderr)
+
+    base = rows[0]["solves_per_sec_per_device"]
+    for r in rows:
+        r["weak_scaling_efficiency"] = round(
+            r["solves_per_sec_per_device"] / base, 3)
+        r["weak_scaling_efficiency_vs_solo"] = round(
+            r["solves_per_sec"] / r["solo_solves_per_sec"], 3)
+    result = {
+        "workload": ("iris_posctrl batched solves, "
+                     f"{b_per_dev} scenarios/device, {iters} APG iters"),
+        "transport": "jax.distributed over localhost (DCN proxy), CPU devices",
+        "host_cores": os.cpu_count(),
+        "note": ("weak-scaling proxy, one pinned core per process. "
+                 "weak_scaling_efficiency_vs_solo (dist vs N INDEPENDENT "
+                 "processes at the same count) is the framework-overhead "
+                 "signal with host memory-bandwidth contention divided "
+                 "out (>=0.8 target, BASELINE.md); the raw vs-1-process "
+                 "efficiency folds in host contention that a real "
+                 "multi-host slice would not share. Counts beyond "
+                 "host_cores oversubscribe and are for completeness."),
+        "sweep": rows,
+    }
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -39,7 +129,25 @@ def main():
                          "(or env SDE4MBRL_COORDINATOR)")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--process-sweep", default=None,
+                    help="comma list of process counts (e.g. 1,2,4,8): "
+                         "spawn that many localhost jax.distributed CPU "
+                         "processes each and emit the weak-scaling curve")
+    ap.add_argument("--b-per-dev", type=int, default=32,
+                    help="process-sweep: scenarios per device (weak scaling)")
+    ap.add_argument("--steps", type=int, default=5,
+                    help="process-sweep: timed warm steps")
+    ap.add_argument("--devices-per-proc", type=int, default=1)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.json"))
     args = ap.parse_args()
+
+    if args.process_sweep:
+        counts = [int(c) for c in args.process_sweep.split(",")]
+        process_sweep(counts, args.b_per_dev, args.iters, args.steps,
+                      args.devices_per_proc, args.out)
+        return
 
     if args.virtual_devices:
         os.environ["XLA_FLAGS"] = (
