@@ -259,11 +259,31 @@ def make_mpc_from_config(
     # closures INSIDE a traced context (the tuner's vmapped candidate
     # sweep, ``tuning/tuner.py``) loads the table once outside and hands
     # the sampler in.
+    state_from_traj_ned = None
     if state_from_traj is None:
         traj_path = cfg.get("trajectory_path")
         if traj_path:
             table = load_trajectory_csv(traj_path, convert_to_ned=False)
             state_from_traj = make_state_from_traj(table)
+            if convert_to_enu:
+                # Internal NED twin of the sampler: the solver's per-solve
+                # reference build otherwise pays an enu2ned quaternion
+                # chain over H+1 rows EVERY solve (~0.3 ms of the measured
+                # 0.65 ms ref build, tools/tpu_decompose_solve.py). The
+                # conversion is linear and norm-preserving, so converting
+                # the KNOTS once at load and lerping in NED is equivalent
+                # to lerping in ENU and converting per solve (same
+                # normalize-after-lerp, fp-rounding-level differences
+                # only). Host-side CPU conversion: no load-path fetch.
+                from sde4mbrl_px4_tpu.models.trajectory import (
+                    TrajectoryTable)
+
+                cpu = jax.local_devices(backend="cpu")[0]
+                with jax.default_device(cpu):
+                    states_ned = np.asarray(
+                        enu2ned(jnp.asarray(table.states)), np.float32)
+                state_from_traj_ned = make_state_from_traj(
+                    TrajectoryTable(times=table.times, states=states_ned))
 
     bundle = MPCBundle(
         model=model,
@@ -583,8 +603,12 @@ def make_mpc_from_config(
     def _build_ref(curr_t: jax.Array, xdes: jax.Array) -> jax.Array:
         """Per-stage reference states (H+1, 13) in the solver frame (NED)."""
         if state_from_traj is not None:
-            ref = state_from_traj(curr_t + knot_times)
-            return enu2ned(ref) if convert_to_enu else ref
+            if convert_to_enu:
+                if state_from_traj_ned is not None:
+                    return state_from_traj_ned(curr_t + knot_times)
+                # caller-supplied sampler (tuner path): no NED twin
+                return enu2ned(state_from_traj(curr_t + knot_times))
+            return state_from_traj(curr_t + knot_times)
         return jnp.broadcast_to(xdes, (H + 1, 13))
 
     def mpc_fn(
@@ -612,6 +636,14 @@ def make_mpc_from_config(
             # for APG so its Brownian draws (and the stored golden traces)
             # are untouched.
             rng_noise, rng_mppi, rng_next = jax.random.split(rng, 3)
+        elif num_particles <= 1:
+            # Mean-dynamics configuration: no Brownian increments are ever
+            # drawn, so the threefry split would be pure per-solve overhead
+            # in the fused hot path — the key passes through unchanged
+            # (stream-equivalent: with zero draws the stream position is
+            # unobservable; seed-independence is pinned by
+            # tests/test_determinism.py).
+            rng_noise, rng_next = rng, rng
         else:
             rng_noise, rng_next = jax.random.split(rng)
 

@@ -29,12 +29,17 @@ Reference analogue: the jitted external solve invoked at
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 _G = 9.81
+# Horizon-loop unroll factor (Mosaic compiles fori bodies once; unrolling
+# trades code size for per-step loop-control overhead). Measured on v5e:
+# see tools/tpu_decompose_solve.py; override for A/B with SDE4MBRL_UNROLL.
+_UNROLL = int(os.environ.get("SDE4MBRL_UNROLL", "1"))
 NSCAL = 6  # [mass, diff_scale, uerr, u_slew_coeff, slew_c_coeff, res_mult]
 
 
@@ -338,6 +343,7 @@ def vg_sweep(ctx: SweepCtx, u_ref, g_ref, xs_ref, x0v):
             0, H, fwd_body,
             (x0b[:, 0:3], x0b[:, 3:6], x0b[:, 6:10], x0b[:, 10:13],
              f32(0.0), f32(0.0)),
+            unroll=_UNROLL,
         )
         return out[4], out[5]
 
@@ -403,7 +409,8 @@ def vg_sweep(ctx: SweepCtx, u_ref, g_ref, xs_ref, x0v):
 
         zero3 = jnp.zeros((B, 3), f32)
         zero4 = jnp.zeros((B, 4), f32)
-        jax.lax.fori_loop(0, H, bwd_body, (zero3, zero3, zero4, zero3))
+        jax.lax.fori_loop(0, H, bwd_body, (zero3, zero3, zero4, zero3),
+                          unroll=_UNROLL)
 
     if n_chunks == 1:
         j_track, j_res = fwd_chunk(0)
@@ -487,6 +494,7 @@ def candidate_rollout(ctx: SweepCtx, u_ref, K: int):
             0, H, body,
             (pk[:, 0:3], pk[:, 3:6], pk[:, 6:10], pk[:, 10:13],
              jnp.zeros((B, 1), f32), jnp.zeros((B, 1), f32)),
+            unroll=_UNROLL,
         )
         j_track, j_res = out[4], out[5]
         if Pc > 1:
