@@ -221,6 +221,7 @@ def main():
             rec = node.last_record
             recorder.record(
                 plant.t, plant.x,
+                motors=fcu.applied_motors4,
                 cmd_motors=None if c is None else c[0],
                 cmd_thrust_rates=None if c is None else c[1],
                 ref=ref_now,

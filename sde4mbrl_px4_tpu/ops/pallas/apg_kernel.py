@@ -40,6 +40,7 @@ linesearch block).
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -131,6 +132,16 @@ def pallas_apg_solve(
     step1 = _make_step(float(model.vehicle.mass), has_noise=not deterministic,
                        has_state_constr=has_sc, n_u=n if prox else None)
     Pc = chunk if chunk else P
+    # Hand-derived reverse sweep (bodies.manual_bwd_step): the traced
+    # jax.vjp re-runs the forward inside every reverse step (its residuals
+    # keep it alive); the manual path stashes the trunk pre-activations in
+    # the forward sweep instead. Flight-configuration scope only; opt out
+    # with SDE4MBRL_MANUAL_BWD=0 for A/B.
+    use_manual = (deterministic and not has_sc and not prox and not chunk
+                  and os.environ.get("SDE4MBRL_MANUAL_BWD", "1")
+                  not in ("0", "false", "False"))
+    step_acts = (_make_step(float(model.vehicle.mass), has_noise=False,
+                            want_acts=True) if use_manual else None)
     _vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     # static Armijo schedule scalars
@@ -164,6 +175,8 @@ def pallas_apg_solve(
         u_scr = refs[n_const + n_out + 3]        # (H, 1, nZ) scratch: the
         # iterate being differentiated (fori bodies need dynamic per-step
         # reads, which only refs support)
+        acts_refs = (tuple(refs[n_const + n_out + 4:n_const + n_out + 7])
+                     if use_manual else None)    # trunk pre-act stashes
 
         (x0_ref, xref_ref, uprev_ref, noise_ref, *wrefs) = const_refs
         ts_s, ds_s = wrefs[-2], wrefs[-1]
@@ -176,6 +189,8 @@ def pallas_apg_solve(
             noise_ref=noise_ref, xref_ref=xref_ref, ts_s=ts_s, ds_s=ds_s,
             W=W, sc_vals=sc_vals, uprev=uprev_ref[:], UREF=UREF, DS=DS,
             SC=SC, SLO=SLO, SHI=SHI, TSV=TSV, has_slew=has_slew, chunk=chunk,
+            step_acts=step_acts, acts_refs=acts_refs,
+            mass=float(model.vehicle.mass),
         )
         res_mult = SC[0, 5]
         uprev = ctx.uprev
@@ -412,7 +427,12 @@ def pallas_apg_solve(
             pltpu.VMEM((H, 1, nZ), jnp.float32),
             pltpu.VMEM((H, K, nZ), jnp.float32),
             pltpu.VMEM((H, 1, nZ), jnp.float32),
-        ],
+        ] + ([
+            # trunk pre-activation stashes for the manual reverse sweep
+            pltpu.VMEM((H, Pc, consts[4].shape[1]), jnp.float32),
+            pltpu.VMEM((H, Pc, consts[6].shape[1]), jnp.float32),
+            pltpu.VMEM((H, Pc, consts[8].shape[1]), jnp.float32),
+        ] if use_manual else []),
         interpret=interpret,
     )(u_init.astype(f32).reshape(H, 1, nZ), t0_arr, *pre_args, *consts)
     out_u, out_stats = outs[0], outs[1]

@@ -36,9 +36,11 @@ import jax
 import jax.numpy as jnp
 
 _G = 9.81
-# Horizon-loop unroll factor (Mosaic compiles fori bodies once; unrolling
-# trades code size for per-step loop-control overhead). Measured on v5e:
-# see tools/tpu_decompose_solve.py; override for A/B with SDE4MBRL_UNROLL.
+# Horizon-loop unroll factor. Mosaic supports only unroll=1 or full
+# unroll (=trip count), and full unroll of the H=20 bodies inside the
+# 200-iteration solve loop blew the compile past 30 minutes on v5e —
+# incompatible with the <30 s bring-up budget — so the default stays 1
+# and the knob exists for measurement only (SDE4MBRL_UNROLL).
 _UNROLL = int(os.environ.get("SDE4MBRL_UNROLL", "1"))
 NSCAL = 6  # [mass, diff_scale, uerr, u_slew_coeff, slew_c_coeff, res_mult]
 
@@ -82,10 +84,15 @@ def _qmul_omega(q, omega):
 # --------------------------------------------------------------------------
 
 def make_step(veh_mass: float, has_noise: bool, has_state_constr: bool = False,
-              n_u: Optional[int] = None):
+              n_u: Optional[int] = None, want_acts: bool = False):
     """Returns step(p, v, q, om, u_b, z, r, dt, W, sc) ->
     ((p', v', q', om'), track (B,1), res2 (B,1))
     where W = (w0,b0,w1,b1,w2,b2, mix_eff, inertia, wstate, diff_scale).
+
+    ``want_acts``: additionally return the trunk pre-activations
+    ``(h0p, h1p, h2)`` — the residuals the hand-derived backward
+    (:func:`manual_bwd_step`) consumes from the forward sweep's stash
+    instead of re-tracing the forward inside each reverse step.
 
     ``sc``: when ``has_state_constr``, the soft/proximal state-constraint
     inputs (reference ``state_constr`` schema,
@@ -126,13 +133,13 @@ def make_step(veh_mass: float, has_noise: bool, has_state_constr: bool = False,
         feat = jnp.concatenate([v_body, omega, g_body, u_dyn], axis=1)
 
         # trunk (3 matmuls) -> residual wrench + raw sigma
-        h = jnp.dot(feat, w0, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST) + b0
-        h = h * jax.nn.sigmoid(h)
-        h = jnp.dot(h, w1, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST) + b1
-        h = h * jax.nn.sigmoid(h)
-        h = jnp.dot(h, w2, preferred_element_type=jnp.float32,
+        h0p = jnp.dot(feat, w0, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) + b0
+        h0 = h0p * jax.nn.sigmoid(h0p)
+        h1p = jnp.dot(h0, w1, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) + b1
+        h1 = h1p * jax.nn.sigmoid(h1p)
+        h = jnp.dot(h1, w2, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST) + b2
         res = h[:, 0:6]
         sig6 = jax.nn.softplus(h[:, 6:12]) * diff_scale
@@ -199,9 +206,202 @@ def make_step(veh_mass: float, has_noise: bool, has_state_constr: bool = False,
                 )
 
         res2 = jnp.sum(sig6 * sig6, axis=1, keepdims=True)
+        if want_acts:
+            return (p1, v1, q1, om1), track, res2, (h0p, h1p, h)
         return (p1, v1, q1, om1), track, res2
 
     return step
+
+
+def _qrotate_bwd(w, u3, X, c_out):
+    """VJP of ``out = X + 2*cross(u3, t)`` with ``t = cross(u3, X) + w*X``
+    (the :func:`_qrotate` body). Recomputes ``t`` (cheap) and returns
+    ``(c_w (B,1), c_u3 (B,3), c_X (B,3))``.
+
+    Cross-product VJP identities used throughout: for ``c = a x b``,
+    ``ct_a = b x ct_c`` and ``ct_b = ct_c x a``.
+    """
+    t = _cross(u3, X) + w * X
+    c_c2 = 2.0 * c_out                       # c2 = cross(u3, t)
+    c_u3 = _cross(t, c_c2)
+    c_t = _cross(c_c2, u3)
+    c_u3 = c_u3 + _cross(X, c_t)
+    c_X = _cross(c_t, u3) + w * c_t + c_out
+    c_w = jnp.sum(X * c_t, axis=1, keepdims=True)
+    return c_w, c_u3, c_X
+
+
+def manual_bwd_step(st_t, u_b, acts, x1, ct, r, dt, d_t, W, veh_mass,
+                    res_mult):
+    """Hand-derived VJP of one DETERMINISTIC EM step + stage cost.
+
+    Replaces the traced ``jax.vjp(step)`` in the reverse sweep for the
+    flight configuration (no noise, no state constraints, no slack
+    columns): the traced VJP re-runs the whole forward inside every
+    reverse step because its residuals keep it alive; here the expensive
+    residuals — the trunk pre-activations — come from the forward sweep's
+    stash (``want_acts``) and only cheap pieces (quaternion products,
+    sigmoids) are recomputed. Parity vs the traced VJP is pinned by
+    ``tests/test_pallas_kernels.py::test_manual_bwd_matches_vjp``.
+
+    Args: ``st_t`` (B,13) pre-step state; ``u_b`` (B,n) controls;
+    ``acts`` = (h0p, h1p, h2) stashed trunk pre-activations; ``x1``
+    (B,13) post-step (normalized) state from the stash; ``ct`` =
+    (cp1, cv1, cq1, com1) downstream cotangents; ``r`` (1,13) stage
+    reference; scalars ``dt`` (step), ``d_t`` (discount); ``W`` the step
+    weight tuple. Returns ``(cp, cv, cq, com, c_u (B,n))``.
+    """
+    w0, b0, w1, b1, w2, b2, mix_eff, inertia, wstate, diff_scale = W
+    h0p, h1p, h2 = acts
+    cp1, cv1, cq1, com1 = ct
+    B = st_t.shape[0]
+    f32 = st_t.dtype
+    p_, v, q, om = st_t[:, 0:3], st_t[:, 3:6], st_t[:, 6:10], st_t[:, 10:13]
+    p1, v1, q1, om1 = x1[:, 0:3], x1[:, 3:6], x1[:, 6:10], x1[:, 10:13]
+    e_z = jnp.concatenate(
+        [jnp.zeros((B, 2), f32), jnp.ones((B, 1), f32)], axis=1)
+    cT = d_t / B                              # mean(track) cotangent/elem
+    cR = d_t * res_mult / B                   # mean(res2) cotangent/elem
+
+    # ---- stage-cost backward (reads the stashed post state) ---------------
+    dp = p1 - r[:, 0:3]
+    dv = v1 - r[:, 3:6]
+    dw = om1 - r[:, 10:13]
+    cp1 = cp1 + cT * 2.0 * wstate[:, 0:3] * dp
+    cv1 = cv1 + cT * 2.0 * wstate[:, 3:6] * dv
+    com1 = com1 + cT * 2.0 * wstate[:, 9:12] * dw
+    rw, rx, ry, rz = r[0, 6], r[0, 7], r[0, 8], r[0, 9]
+    qw_, qx_, qy_, qz_ = q1[:, 0:1], q1[:, 1:2], q1[:, 2:3], q1[:, 3:4]
+    ew = rw * qw_ + rx * qx_ + ry * qy_ + rz * qz_
+    ex = rw * qx_ - rx * qw_ - ry * qz_ + rz * qy_
+    ey = rw * qy_ + rx * qz_ - ry * qw_ - rz * qx_
+    ez = rw * qz_ - rx * qy_ + ry * qx_ - rz * qw_
+    s = jnp.where(ew < 0, -1.0, 1.0)
+    # dqv = s*[ex,ey,ez]; s is piecewise constant (zero derivative a.e.)
+    c_ex = s * cT * 2.0 * wstate[:, 6:7] * (s * ex)
+    c_ey = s * cT * 2.0 * wstate[:, 7:8] * (s * ey)
+    c_ez = s * cT * 2.0 * wstate[:, 8:9] * (s * ez)
+    cq1 = cq1 + jnp.concatenate(
+        [
+            -rx * c_ex - ry * c_ey - rz * c_ez,
+            rw * c_ex - rz * c_ey + ry * c_ez,
+            rz * c_ex + rw * c_ey - rx * c_ez,
+            -ry * c_ex + rx * c_ey + rw * c_ez,
+        ],
+        axis=1,
+    )
+
+    # ---- sigma / res2 backward (recompute softplus from stashed h2) -------
+    h2s = h2[:, 6:12]
+    sig_h2 = jax.nn.sigmoid(h2s)
+    sig6 = jax.nn.softplus(h2s) * diff_scale
+    c_sig6 = cR * 2.0 * sig6
+    c_h2_sig = c_sig6 * sig_h2 * diff_scale
+
+    # ---- quaternion renormalize backward (recompute q1r cheaply) ----------
+    dqw = 0.5 * (-q[:, 1:2] * om[:, 0:1] - q[:, 2:3] * om[:, 1:2]
+                 - q[:, 3:4] * om[:, 2:3])
+    dqx = 0.5 * (q[:, 0:1] * om[:, 0:1] + q[:, 2:3] * om[:, 2:3]
+                 - q[:, 3:4] * om[:, 1:2])
+    dqy = 0.5 * (q[:, 0:1] * om[:, 1:2] - q[:, 1:2] * om[:, 2:3]
+                 + q[:, 3:4] * om[:, 0:1])
+    dqz = 0.5 * (q[:, 0:1] * om[:, 2:3] + q[:, 1:2] * om[:, 1:2]
+                 - q[:, 2:3] * om[:, 0:1])
+    dq = jnp.concatenate([dqw, dqx, dqy, dqz], axis=1)
+    q1r = q + dt * dq
+    nrm2 = jnp.sum(q1r * q1r, axis=1, keepdims=True) + 1e-12
+    nrm = jnp.sqrt(nrm2)
+    c_q1r = (cq1 / nrm
+             - q1r * (jnp.sum(cq1 * q1r, axis=1, keepdims=True)
+                      / (nrm2 * nrm)))
+
+    # ---- EM-update backward ----------------------------------------------
+    cp = cp1
+    cv = cv1 + dt * cp1
+    c_acc = dt * cv1
+    com = com1
+    c_domega = dt * com1
+    cq = c_q1r
+    c_dq = dt * c_q1r
+
+    # dq = 0.5 q (x) [0, om]
+    c_dqw, c_dqx = c_dq[:, 0:1], c_dq[:, 1:2]
+    c_dqy, c_dqz = c_dq[:, 2:3], c_dq[:, 3:4]
+    ox, oy, oz = om[:, 0:1], om[:, 1:2], om[:, 2:3]
+    qw2, qx2, qy2, qz2 = q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4]
+    cq = cq + 0.5 * jnp.concatenate(
+        [
+            c_dqx * ox + c_dqy * oy + c_dqz * oz,
+            -c_dqw * ox - c_dqy * oz + c_dqz * oy,
+            -c_dqw * oy + c_dqx * oz - c_dqz * ox,
+            -c_dqw * oz - c_dqx * oy + c_dqy * ox,
+        ],
+        axis=1,
+    )
+    com = com + 0.5 * jnp.concatenate(
+        [
+            -c_dqw * qx2 + c_dqx * qw2 + c_dqy * qz2 - c_dqz * qy2,
+            -c_dqw * qy2 - c_dqx * qz2 + c_dqy * qw2 + c_dqz * qx2,
+            -c_dqw * qz2 + c_dqx * qy2 - c_dqy * qx2 + c_dqz * qw2,
+        ],
+        axis=1,
+    )
+
+    # domega = (tau + res36 - cross(om, I*om)) / I
+    c_tau = c_domega / inertia
+    c_res36 = c_domega / inertia
+    c_crs = -c_domega / inertia
+    Iom = inertia * om
+    com = com + _cross(Iom, c_crs) + inertia * _cross(c_crs, om)
+
+    # acc = G e_z + qrotate(q, f_body)/mass  — needs f_body (recompute from
+    # stashed res and u: cheap elementwise + one tiny matmul)
+    res03 = h2[:, 0:3]
+    wrench = jnp.dot(u_b, mix_eff.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    thrust = wrench[:, 0:1]
+    f_body = res03 - thrust * e_z
+    c_rot = c_acc / veh_mass
+    c_w_q, c_u3_q, c_fbody = _qrotate_bwd(q[:, 0:1], q[:, 1:4], f_body,
+                                          c_rot)
+    cq = cq + jnp.concatenate([c_w_q, c_u3_q], axis=1)
+
+    c_res03 = c_fbody
+    c_thrust = -c_fbody[:, 2:3]
+    c_wrench = jnp.concatenate([c_thrust, c_tau], axis=1)      # (B, 4)
+    c_u = jnp.dot(c_wrench, mix_eff, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)         # (B, n)
+
+    # ---- trunk backward (transposed matmuls on stashed pre-activations) ---
+    c_h2 = jnp.concatenate([c_res03, c_res36, c_h2_sig], axis=1)  # (B,12)
+    tmm = lambda a, w: jax.lax.dot_general(
+        a, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    c_h1 = tmm(c_h2, w2)                                       # (B, 64)
+    s1 = jax.nn.sigmoid(h1p)
+    c_h1p = c_h1 * (s1 + h1p * s1 * (1.0 - s1))                # swish'
+    c_h0 = tmm(c_h1p, w1)
+    s0 = jax.nn.sigmoid(h0p)
+    c_h0p = c_h0 * (s0 + h0p * s0 * (1.0 - s0))
+    c_feat = tmm(c_h0p, w0)                                    # (B, 9+n)
+
+    c_vbody = c_feat[:, 0:3]
+    com = com + c_feat[:, 3:6]
+    c_gbody = c_feat[:, 6:9]
+    c_u = c_u + c_feat[:, 9:]
+
+    # v_body / g_body = qrotate(qc, ·) with qc = [qw, -qx, -qy, -qz]
+    qcw, qcu = q[:, 0:1], -q[:, 1:4]
+    c_w_v, c_u3_v, c_v = _qrotate_bwd(qcw, qcu, v, c_vbody)
+    cv = cv + c_v
+    c_w_g, c_u3_g, _ = _qrotate_bwd(qcw, qcu, e_z, c_gbody)
+    c_qc_w = c_w_v + c_w_g
+    c_qc_u = c_u3_v + c_u3_g
+    cq = cq + jnp.concatenate([c_qc_w, -c_qc_u], axis=1)
+
+    return cp, cv, cq, com, c_u
 
 
 def control_cost(U2, u_prev, uref, disc_col, scal, slew_lo, slew_hi,
@@ -270,6 +470,14 @@ class SweepCtx(NamedTuple):
     TSV: Any               # (H, 1) VMEM value (vector dts)
     has_slew: bool
     chunk: int = 0         # particle chunk size; 0 = whole P at once
+    # Manual-backward wiring (deterministic, unconstrained, unchunked
+    # configs only — the flight path): a want_acts step variant + scratch
+    # refs (h0p (H,B,64), h1p (H,B,64), h2 (H,B,12)) the forward sweep
+    # stashes into and :func:`manual_bwd_step` consumes, plus the vehicle
+    # mass the backward needs. None = traced-VJP reverse sweep.
+    step_acts: Optional[Callable] = None
+    acts_refs: Optional[Tuple] = None
+    mass: float = 0.0
 
 
 def _prox_pad(g_ctrl, n, n_u, f32):
@@ -319,6 +527,8 @@ def vg_sweep(ctx: SweepCtx, u_ref, g_ref, xs_ref, x0v):
         n_chunks = P // Pc
     B = Pc
 
+    manual = ctx.acts_refs is not None
+
     def fwd_chunk(c):
         """Forward sweep over one particle chunk -> (j_track, j_res)."""
         def fwd_body(t, carry):
@@ -331,8 +541,14 @@ def vg_sweep(ctx: SweepCtx, u_ref, g_ref, xs_ref, x0v):
             r = xref_ref[t + 1]
             dt = ts_s[t, 0]
             d_t = ds_s[t, 0]
-            (p1, v1, q1, om1), track, res2 = step(p_, v, q, om, u_b, z, r,
-                                                  dt, W, sc_vals)
+            if manual:
+                (p1, v1, q1, om1), track, res2, acts = ctx.step_acts(
+                    p_, v, q, om, u_b, z, r, dt, W, sc_vals)
+                h0p_ref, h1p_ref, h2_ref = ctx.acts_refs
+                h0p_ref[t], h1p_ref[t], h2_ref[t] = acts
+            else:
+                (p1, v1, q1, om1), track, res2 = step(p_, v, q, om, u_b, z,
+                                                      r, dt, W, sc_vals)
             xs_ref[t + 1] = jnp.concatenate([p1, v1, q1, om1], axis=1)
             return (p1, v1, q1, om1,
                     jt + d_t * jnp.mean(track), jr + d_t * jnp.mean(res2))
@@ -362,15 +578,22 @@ def vg_sweep(ctx: SweepCtx, u_ref, g_ref, xs_ref, x0v):
             dt = ts_s[t, 0]
             d_t = ds_s[t, 0]
 
-            def f(p_a, v_a, q_a, om_a, u_a):
-                (p1, v1, q1, om1), track, res2 = step(p_a, v_a, q_a, om_a,
-                                                      u_a, z, r, dt, W, sc_vals)
-                return p1, v1, q1, om1, jnp.mean(track), jnp.mean(res2)
+            if manual:
+                h0p_ref, h1p_ref, h2_ref = ctx.acts_refs
+                g_p, g_v, g_q, g_om, g_u = manual_bwd_step(
+                    st, u_b, (h0p_ref[t], h1p_ref[t], h2_ref[t]),
+                    xs_ref[t + 1], (ct_p, ct_v, ct_q, ct_om), r, dt, d_t,
+                    W, ctx.mass, res_mult)
+            else:
+                def f(p_a, v_a, q_a, om_a, u_a):
+                    (p1, v1, q1, om1), track, res2 = step(
+                        p_a, v_a, q_a, om_a, u_a, z, r, dt, W, sc_vals)
+                    return p1, v1, q1, om1, jnp.mean(track), jnp.mean(res2)
 
-            _, vjp_fn = jax.vjp(f, p_, v, q, om, u_b)
-            g_p, g_v, g_q, g_om, g_u = vjp_fn(
-                (ct_p, ct_v, ct_q, ct_om, d_t, d_t * res_mult)
-            )
+                _, vjp_fn = jax.vjp(f, p_, v, q, om, u_b)
+                g_p, g_v, g_q, g_om, g_u = vjp_fn(
+                    (ct_p, ct_v, ct_q, ct_om, d_t, d_t * res_mult)
+                )
 
             # control-term gradients (closed form):
             #   uerr:  2*uerr*d_t*(u_t - uref)

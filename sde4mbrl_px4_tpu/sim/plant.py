@@ -111,10 +111,21 @@ class FCUSim:
         # pre-flight to disable the RC-loss failsafe,
         # ``basic_control.py:147-149``).
         self.params: dict = {}
+        self._last_applied = np.zeros(self.n_u, np.float32)
 
     def full_state_msg(self) -> Tuple[np.ndarray, float]:
         """(state13, time_usec) as the FCU would stream it."""
         return self.plant.x.copy(), self.plant.t * 1e6
+
+    @property
+    def applied_motors4(self) -> np.ndarray:
+        """Last APPLIED motor outputs, first 4 — the m1..m4 readings
+        MPC_FULL_STATE carries (reference message fields, plotted by
+        ``launch/pj_setpoint_layout.xml``); zeros before the first period."""
+        u = self._last_applied
+        out = np.zeros(4, np.float32)
+        out[: min(4, u.shape[0])] = u[:4]
+        return out
 
     def push_cmd(self, motors6: np.ndarray, thrust_rates4: np.ndarray,
                  mpc_on: int, weight_motors: int) -> None:
@@ -165,4 +176,5 @@ class FCUSim:
 
     def run_control_period(self, duration: float) -> np.ndarray:
         """Advance one control period applying the effective motor input."""
-        return self.plant.step(self._effective_u(), duration)
+        self._last_applied = self._effective_u()
+        return self.plant.step(self._last_applied, duration)

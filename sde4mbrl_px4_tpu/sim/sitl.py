@@ -79,7 +79,8 @@ class FCUSimNode:
         k = 0
         while not self._stop.is_set():
             x, _ = self.fcu.full_state_msg()
-            self.link.send_full_state(int(time.time() * 1e6), x)
+            self.link.send_full_state(int(time.time() * 1e6), x,
+                                      self.fcu.applied_motors4)
             if self.realtime:
                 sleep = wall0 + (k + 1) * dt - time.time()
                 if sleep > 0:

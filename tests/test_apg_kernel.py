@@ -277,3 +277,20 @@ def test_mega_solve_parity_no_momentum_restart(iris_traj_bundle):
     np.testing.assert_allclose(np.asarray(st_p.yk), np.asarray(st_x.yk),
                                rtol=2e-4, atol=2e-5)
     assert float(st_p.opt_cost) == pytest.approx(float(st_x.opt_cost), rel=2e-4)
+
+
+def test_manual_bwd_vs_traced_vjp_kernel(iris_traj_bundle, monkeypatch):
+    """Direct kernel-vs-kernel A/B: the hand-derived reverse sweep
+    (bodies.manual_bwd_step) vs the traced-VJP reverse sweep must produce
+    the same solve (iterate, iteration count, gradient-norm stat)."""
+    monkeypatch.setenv("SDE4MBRL_MANUAL_BWD", "1")
+    _, st_on = _solve_both(iris_traj_bundle, max_iter=8)
+    monkeypatch.setenv("SDE4MBRL_MANUAL_BWD", "0")
+    _, st_off = _solve_both(iris_traj_bundle, max_iter=8)
+    assert int(st_on.num_steps) == int(st_off.num_steps)
+    np.testing.assert_allclose(np.asarray(st_on.yk), np.asarray(st_off.yk),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(st_on.grad_sqr), float(st_off.grad_sqr),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(st_on.opt_cost), float(st_off.opt_cost),
+                               rtol=1e-6)
