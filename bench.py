@@ -57,8 +57,16 @@ def main():
     # Start past the trajectory's from-rest ramp (trajs ship with a 1.5 s
     # spin-up): the benchmark workload is the STEADY receding-horizon loop.
     T0 = 3.0
-    x = enu2ned(state_from_traj(T0))  # ENU ref -> NED state
-    st = reset_fn(x, rng, x)
+    # ONE jitted program for the start state: eagerly, enu2ned(sft(T0))
+    # dispatches ~18 primitive-sized programs, each a ~1 s compile RPC on
+    # the dev tunnel (measured 14-17 s total; memory: performance traps).
+    x = jax.jit(lambda t: enu2ned(state_from_traj(t)))(jnp.float32(T0))
+    # AOT-cache the reset executable too: even trivial compile RPCs hit
+    # the tunnel's multi-minute latency weather (measured 2 s..122 s).
+    from sde4mbrl_px4_tpu.aot_cache import load_or_compile as _loc
+
+    jr = _loc(jax.jit(reset_fn).lower(x, rng, x), tag="bench_reset")
+    st = jr(x, rng, x)
 
     # AOT-compile FIRST, then pay the tunnel's one-time first-fetch penalty
     # (BENCH_r02's "compile+warm 266 s" was that penalty, not compilation).
@@ -70,7 +78,10 @@ def main():
     # the tunnel's own, reported separately. In the ENGINE (CompiledMPC)
     # the concurrent warm_fetch_async still makes sense: there the fetch
     # overlaps Python-side setup, and on a locally-attached host it's free.
-    jm = jax.jit(mpc_fn).lower(x, rng, st, jnp.float32(T0), x).compile()
+    from sde4mbrl_px4_tpu.aot_cache import load_or_compile
+
+    jm = load_or_compile(jax.jit(mpc_fn).lower(x, rng, st, jnp.float32(T0), x),
+                         tag="bench_mpc")
     startup_s = time.time() - t0
     t_wf = time.time()
     warm_fetch_async().join()

@@ -269,31 +269,34 @@ class CompiledMPC:
         x0 = hover_state()
         rng = jax.random.PRNGKey(seed)
 
+        # Executables load from the machine-local AOT artifact cache when
+        # the lowering matches (aot_cache.py): a warm machine's bring-up
+        # issues ZERO compile RPCs — the fix for the dev tunnel's
+        # multi-minute compile-latency weather, and a real speedup on any
+        # host (compile once per code+config content).
+        from sde4mbrl_px4_tpu.aot_cache import load_or_compile
+
         self.state_from_traj = None
         if state_from_traj is not None:
-            self.state_from_traj = (
-                jax.jit(state_from_traj).lower(jnp.float32(0.01)).compile()
-            )
+            self.state_from_traj = load_or_compile(
+                jax.jit(state_from_traj).lower(jnp.float32(0.01)), tag="sft")
 
-        self.reset = jax.jit(reset_fn).lower(x0, rng, x0).compile()
+        self.reset = load_or_compile(
+            jax.jit(reset_fn).lower(x0, rng, x0), tag="reset")
         self.default_opt_state = self.reset(x0, rng, x0)
         jax.block_until_ready(self.default_opt_state.yk)
 
         if self.deadline_ms:
-            self.mpc = (
-                jax.jit(mpc_fn)
-                .lower(x0, rng, self.default_opt_state, jnp.float32(0.01),
-                       x0, jnp.int32(self.max_iter))
-                .compile()
-            )
+            self.mpc = load_or_compile(
+                jax.jit(mpc_fn).lower(x0, rng, self.default_opt_state,
+                                      jnp.float32(0.01), x0,
+                                      jnp.int32(self.max_iter)), tag="mpc")
             warm = self.mpc(x0, rng, self.default_opt_state,
                             jnp.float32(0.01), x0, jnp.int32(self.max_iter))
         else:
-            self.mpc = (
-                jax.jit(mpc_fn)
-                .lower(x0, rng, self.default_opt_state, jnp.float32(0.01), x0)
-                .compile()
-            )
+            self.mpc = load_or_compile(
+                jax.jit(mpc_fn).lower(x0, rng, self.default_opt_state,
+                                      jnp.float32(0.01), x0), tag="mpc")
             warm = self.mpc(x0, rng, self.default_opt_state,
                             jnp.float32(0.01), x0)
         jax.block_until_ready(warm.u_opt)

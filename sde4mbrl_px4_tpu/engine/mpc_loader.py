@@ -219,7 +219,12 @@ def make_mpc_from_config(
     )
     cfg["_time_steps"] = [float(d) for d in time_steps_np]
     time_steps = jnp.asarray(time_steps_np)
-    knot_times = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(time_steps)])
+    # numpy, then ONE upload: eager device arithmetic here would compile a
+    # tiny program per primitive, and on the dev tunnel each of those
+    # compile RPCs costs ~1 s of bring-up (memory: performance traps).
+    knot_times = jnp.asarray(np.concatenate(
+        [np.zeros(1, np.float32),
+         np.cumsum(np.asarray(time_steps_np, np.float32))]))
     H = int(time_steps.shape[0])
 
     lb_np, ub_np = input_bounds_from_config(cfg)
@@ -464,16 +469,23 @@ def make_mpc_from_config(
         init_std = jnp.broadcast_to(
             jnp.asarray(init_std, jnp.float32), (13,))
     cost_fn = make_cost_fn(cost_params, time_steps)
-    u_hover = jnp.broadcast_to(cost_params.uref, (H, n_u))
+    # Host-side (numpy) hover plan from the CONFIG values, ONE upload —
+    # eager device broadcast/clip/concat here would compile a tiny program
+    # per primitive (~1 s/compile RPC on the dev tunnel), and np.asarray
+    # on the CostParams device arrays would be a load-path fetch.
+    uref_np_h = np.broadcast_to(np.broadcast_to(np.asarray(
+        cfg["cost_params"]["uref"], np.float32), (n_u,)), (H, n_u))
     if prox_m:
-        # Admissible slack targets at rest: 0 clipped into the state box.
-        s_hover = jnp.broadcast_to(
-            jnp.clip(jnp.zeros((prox_m,)), cost_params.slack_lo,
-                     cost_params.slack_hi), (H, prox_m)
-        )
-        z_hover = jnp.concatenate([u_hover, s_hover], axis=1)
+        # Admissible slack targets at rest: 0 clipped into the state box
+        # (same construction as cost.py's slack_lo/slack_hi).
+        b_np = np.asarray(cfg["state_constr"]["state_bound"], np.float32)
+        s_hover_np = np.broadcast_to(
+            np.clip(np.zeros(prox_m, np.float32), b_np[:, 0], b_np[:, 1]),
+            (H, prox_m))
+        z_hover = jnp.asarray(
+            np.concatenate([uref_np_h, s_hover_np], axis=1))
     else:
-        z_hover = u_hover
+        z_hover = jnp.asarray(uref_np_h)
 
     # Diagonal curvature preconditioner (``apg_mpc.precond: hover_diag``,
     # opt-in). The MPC cost's diagonal curvature decays ~580x from horizon

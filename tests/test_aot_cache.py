@@ -1,0 +1,62 @@
+"""AOT executable cache (aot_cache.py): compile-once/load-forever for the
+bring-up path (VERDICT r3 item 1). ``_force=True`` exercises the artifact
+machinery on CPU, where same-process roundtrips work (cross-process CPU
+deserialization does not — the production gate skips artifacts there)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _lowered(scale):
+    def f(x):
+        def body(c, _):
+            return c * scale + 1.0, None
+        y, _ = jax.lax.scan(body, x, None, length=8)
+        return y
+    return jax.jit(f).lower(jnp.zeros((4,)))
+
+
+def test_roundtrip_and_reload(tmp_path):
+    from sde4mbrl_px4_tpu.aot_cache import load_or_compile
+
+    d = str(tmp_path)
+    c1 = load_or_compile(_lowered(1.5), tag="t", cache_dir=d, _force=True)
+    files = os.listdir(d)
+    assert len(files) == 1 and files[0].startswith("t-")
+    mt = os.path.getmtime(os.path.join(d, files[0]))
+
+    c2 = load_or_compile(_lowered(1.5), tag="t", cache_dir=d, _force=True)
+    assert os.listdir(d) == files                      # hit: no new artifact
+    assert os.path.getmtime(os.path.join(d, files[0])) == mt
+    x = jnp.arange(4.0)
+    np.testing.assert_array_equal(np.asarray(c1(x)), np.asarray(c2(x)))
+
+
+def test_key_tracks_program_content(tmp_path):
+    """A changed program (different constant) must produce a different
+    artifact — a stale executable can never be served for changed code."""
+    from sde4mbrl_px4_tpu.aot_cache import load_or_compile
+
+    d = str(tmp_path)
+    load_or_compile(_lowered(1.5), tag="t", cache_dir=d, _force=True)
+    load_or_compile(_lowered(2.5), tag="t", cache_dir=d, _force=True)
+    assert len(os.listdir(d)) == 2
+
+
+def test_corrupt_artifact_recompiled(tmp_path):
+    from sde4mbrl_px4_tpu.aot_cache import load_or_compile
+
+    d = str(tmp_path)
+    load_or_compile(_lowered(1.5), tag="t", cache_dir=d, _force=True)
+    (name,) = os.listdir(d)
+    with open(os.path.join(d, name), "wb") as f:
+        f.write(b"garbage")
+    c = load_or_compile(_lowered(1.5), tag="t", cache_dir=d, _force=True)
+    x = jnp.arange(4.0)
+    assert np.isfinite(np.asarray(c(x))).all()
+    # the corrupt artifact was replaced by a fresh one
+    (name2,) = os.listdir(d)
+    assert name2 == name
+    assert os.path.getsize(os.path.join(d, name2)) > 100

@@ -230,6 +230,10 @@ def test_blocking_over_budget_warns(rh_controller, caplog):
     c, _ = rh_controller
     saved = c.pos.dt_usec
     x = np.asarray(hover_state())
+    # fresh meter: the shared fixture may have warned <1 s ago in another
+    # test, and the rate limiter would suppress THIS test's log record
+    from sde4mbrl_px4_tpu.engine.controller import BudgetMeter
+    c.budget_warn = BudgetMeter()
     try:
         c.pos.dt_usec = 1.0  # 1 µs budget — any real solve overruns it
         with caplog.at_level(logging.WARNING,

@@ -40,7 +40,24 @@ def flagship(request, repo_root):
     c.close()
 
 
+def _fresh(c, seed=0):
+    """Restore the controller to construction state so each golden replay
+    is deterministic regardless of which tests shared the module-scoped
+    fixture before it (the first solve resets warm starts from ITS first
+    state — replay order would otherwise leak into the trace via the
+    state-aware reset)."""
+    import jax
+
+    rng = jax.random.PRNGKey(seed)
+    c.rng_traj, c.rng_pos = jax.random.split(rng)
+    c.opt_state_traj = c.traj.default_opt_state
+    c.opt_state_pos = c.pos.default_opt_state
+    c._curr_ctrl = None
+    c._idle_traj = False
+
+
 def _replay_traj(c, n=6, traj_t0=3.0):
+    _fresh(c)
     """Trajectory-mode replay: the vehicle tracks the reference, so the
     pinned plant states sample the trajectory itself (the steady
     warm-started receding-horizon window the bench also pins)."""
@@ -59,6 +76,7 @@ def _replay_traj(c, n=6, traj_t0=3.0):
 
 
 def _replay_pos(c, n=6):
+    _fresh(c)
     rs = np.random.RandomState(7)
     x0 = np.array(enu2ned(hover_state()), np.float32)
     cmds = []
