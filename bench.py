@@ -65,7 +65,11 @@ def main():
     # the tunnel's multi-minute latency weather (measured 2 s..122 s).
     from sde4mbrl_px4_tpu.aot_cache import load_or_compile as _loc
 
-    jr = _loc(jax.jit(reset_fn).lower(x, rng, x), tag="bench_reset")
+    import json as _json
+
+    _cfg_key = _json.dumps(cfg, sort_keys=True, default=str)
+    jr = _loc(jax.jit(reset_fn).lower(x, rng, x), tag="bench_reset",
+              key_extra=_cfg_key)
     st = jr(x, rng, x)
 
     # AOT-compile FIRST, then pay the tunnel's one-time first-fetch penalty
@@ -81,7 +85,7 @@ def main():
     from sde4mbrl_px4_tpu.aot_cache import load_or_compile
 
     jm = load_or_compile(jax.jit(mpc_fn).lower(x, rng, st, jnp.float32(T0), x),
-                         tag="bench_mpc")
+                         tag="bench_mpc", key_extra=_cfg_key)
     startup_s = time.time() - t0
     t_wf = time.time()
     warm_fetch_async().join()
@@ -428,6 +432,14 @@ def _particles_percentiles(here, _log, cfg, tag, n_steps, deadline_ms=None):
     sol = jm(x, rng, st, jnp.float32(T0), x, *args_tail)
     jax.block_until_ready(sol.u_opt)
 
+    # Reference positions precomputed OUTSIDE the timed loop (they are
+    # known for all t): computing them per tick would add a harness-only
+    # device round trip inside the measured window.
+    ref_pos = np.stack([
+        np.asarray(enu2ned(sft(jnp.float32(T0 + k * dt))))[:3]
+        for k in range(8 + n_steps + 1)
+    ])
+
     # per-call pipelined busy time across the lemniscate window
     lat, fetches, steps_seen, errs = [], [], [], []
     prev = None
@@ -441,8 +453,7 @@ def _particles_percentiles(here, _log, cfg, tag, n_steps, deadline_ms=None):
             if k >= n_warm:           # steady workload only, like lat
                 steps_seen.append(float(n_st))
                 errs.append(float(np.linalg.norm(
-                    np.asarray(x_evol[1][:3])
-                    - np.asarray(enu2ned(sft(t))[:3]))))
+                    np.asarray(x_evol[1][:3]) - ref_pos[k])))
         else:
             x_host = x
         t_f = time.perf_counter() - t1

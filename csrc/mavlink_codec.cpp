@@ -159,6 +159,37 @@ int mav_frame_decode(const uint8_t *buf, int len, uint8_t *payload_out,
   return (int)msgid;
 }
 
+// CRC verdict for one complete v1/v2 frame of the KNOWN dialect:
+// 1 = valid, 0 = CRC mismatch, -1 = unknown msgid / not judgeable.
+// Used by the router's serial deframer (csrc/router.cpp): a corrupted
+// length byte otherwise swallows the following good frames — CRC-failed
+// known-dialect frames resync at magic+1 like mavlink-routerd.
+int mav_frame_crc_check(const uint8_t *buf, int len) {
+  if (len < 8) return -1;
+  int plen = buf[1];
+  uint32_t msgid;
+  int hdr;
+  if (buf[0] == 0xFD) {
+    if (len < 12 + plen) return -1;
+    msgid = (uint32_t)buf[7] | ((uint32_t)buf[8] << 8) |
+            ((uint32_t)buf[9] << 16);
+    hdr = 9;
+  } else if (buf[0] == 0xFE) {
+    if (len < 8 + plen) return -1;
+    msgid = buf[5];
+    hdr = 5;
+  } else {
+    return -1;
+  }
+  int extra = mav_crc_extra((int)msgid);
+  if (extra < 0) return -1;
+  uint16_t crc = crc_calculate(buf + 1, hdr + plen);
+  crc_accumulate((uint8_t)extra, &crc);
+  uint16_t rx = (uint16_t)buf[1 + hdr + plen] |
+                ((uint16_t)buf[2 + hdr + plen] << 8);
+  return crc == rx ? 1 : 0;
+}
+
 // -- MPC_FULL_STATE ---------------------------------------------------------
 
 int mav_encode_full_state(uint8_t *out, uint64_t time_usec, const float state13[13],

@@ -34,6 +34,8 @@
 #include <string>
 #include <vector>
 
+extern "C" int mav_frame_crc_check(const uint8_t *buf, int len);
+
 namespace {
 
 struct REndpoint {
@@ -140,6 +142,15 @@ void deframe_and_forward(RRouter* r, REndpoint* ep, const uint8_t* data,
             len = 8 + s[off + 1];
         }
         if (off + len > s.size()) break;    // incomplete tail
+        // Known-dialect frames must pass CRC; a failure means a corrupted
+        // length/magic captured following good bytes — resync ONE byte in
+        // (mavlink-routerd semantics: one corrupt byte costs one frame,
+        // not everything its fake length swallowed). Unknown msgids pass
+        // through unvalidated: the router stays dialect-agnostic.
+        if (mav_frame_crc_check(s.data() + off, static_cast<int>(len)) == 0) {
+            ++off;
+            continue;
+        }
         forward(r, ep, s.data() + off, static_cast<int>(len));
         off += len;
     }

@@ -85,6 +85,7 @@ def _backend_fingerprint() -> str:
 
 def load_or_compile(lowered, tag: str = "fn",
                     cache_dir: Optional[str] = None,
+                    key_extra: str = "",
                     _force: bool = False):
     """``lowered`` (a ``jax.stages.Lowered``) -> compiled executable,
     via the on-disk artifact when one matches.
@@ -92,6 +93,14 @@ def load_or_compile(lowered, tag: str = "fn",
     The lowering itself is pure client-side tracing (~2.6 s for the
     flagship mega-kernel program) and doubles as the cache key, so a
     stale artifact can never be served for changed code.
+
+    ``key_extra``: REQUIRED content for any program whose behavior can
+    vary with inputs that live ONLY inside a Mosaic kernel body (the
+    payloads are stripped from the key): static solver config baked into
+    the kernel (max_iter, linesearch scalars, reset_option, ...) leaves
+    the surrounding HLO byte-identical, so the caller must fold a
+    canonical dump of that config into the key (CompiledMPC passes the
+    full solver cfg JSON).
 
     CPU backend: compiles directly (no artifact). XLA:CPU executables
     embed process-local JIT symbols and fail cross-process
@@ -111,7 +120,7 @@ def load_or_compile(lowered, tag: str = "fn",
     txt = _PAYLOAD_RE.sub('"<mosaic-payload>"', lowered.as_text())
     key = hashlib.sha256(
         (txt + jax.__version__ + _backend_fingerprint()
-         + _package_source_hash()).encode()
+         + _package_source_hash() + key_extra).encode()
     ).hexdigest()[:24]
     d = cache_dir or aot_cache_dir()
     path = os.path.join(d, f"{tag}-{key}.aotx")

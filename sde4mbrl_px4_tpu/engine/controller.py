@@ -273,16 +273,25 @@ class CompiledMPC:
         # the lowering matches (aot_cache.py): a warm machine's bring-up
         # issues ZERO compile RPCs — the fix for the dev tunnel's
         # multi-minute compile-latency weather, and a real speedup on any
-        # host (compile once per code+config content).
+        # host (compile once per code+config content). The canonical cfg
+        # dump rides the key: solver scalars baked into the Mosaic kernel
+        # body (max_iter, linesearch, reset_option, ...) don't show in the
+        # payload-stripped HLO, so a config edit must invalidate here.
+        import json
+
         from sde4mbrl_px4_tpu.aot_cache import load_or_compile
+
+        cfg_key = json.dumps(cfg, sort_keys=True, default=str)
 
         self.state_from_traj = None
         if state_from_traj is not None:
             self.state_from_traj = load_or_compile(
-                jax.jit(state_from_traj).lower(jnp.float32(0.01)), tag="sft")
+                jax.jit(state_from_traj).lower(jnp.float32(0.01)), tag="sft",
+                key_extra=cfg_key)
 
         self.reset = load_or_compile(
-            jax.jit(reset_fn).lower(x0, rng, x0), tag="reset")
+            jax.jit(reset_fn).lower(x0, rng, x0), tag="reset",
+            key_extra=cfg_key)
         self.default_opt_state = self.reset(x0, rng, x0)
         jax.block_until_ready(self.default_opt_state.yk)
 
@@ -290,13 +299,15 @@ class CompiledMPC:
             self.mpc = load_or_compile(
                 jax.jit(mpc_fn).lower(x0, rng, self.default_opt_state,
                                       jnp.float32(0.01), x0,
-                                      jnp.int32(self.max_iter)), tag="mpc")
+                                      jnp.int32(self.max_iter)), tag="mpc",
+                key_extra=cfg_key)
             warm = self.mpc(x0, rng, self.default_opt_state,
                             jnp.float32(0.01), x0, jnp.int32(self.max_iter))
         else:
             self.mpc = load_or_compile(
                 jax.jit(mpc_fn).lower(x0, rng, self.default_opt_state,
-                                      jnp.float32(0.01), x0), tag="mpc")
+                                      jnp.float32(0.01), x0), tag="mpc",
+                key_extra=cfg_key)
             warm = self.mpc(x0, rng, self.default_opt_state,
                             jnp.float32(0.01), x0)
         jax.block_until_ready(warm.u_opt)
@@ -566,9 +577,14 @@ class RecedingHorizonController:
 
         avg_ls, stepsize, num_steps, grad_sqr, avg_stepsize, c0, cT = stats_host
         # Deadline budgeting: calibrate the producing solver's ms/iteration
-        # EWMA from this measured (wall time, iterations) pair.
-        (self.traj if mode == "traj" else self.pos).observe_solve(
-            solve_time, float(num_steps))
+        # EWMA from this measured (wall time, iterations) pair. Idle mode
+        # is excluded: it publishes the POS solve's plan but the TRAJ
+        # pre-warm's stats (reference idle semantics), and its wall time
+        # spans BOTH solves — pairing those would corrupt the estimate.
+        if mode == "traj":
+            self.traj.observe_solve(solve_time, float(num_steps))
+        elif mode in ("pos", "none"):
+            self.pos.observe_solve(solve_time, float(num_steps))
         self.last_record = OptMPCStateRecord(
             stamp=time.time(), avg_linesearch=float(avg_ls),
             avg_stepsize=float(avg_stepsize), stepsize=float(stepsize),

@@ -161,7 +161,9 @@ def _precond_cache_key(cfg: Dict[str, Any], vehicle_name: str,
             h.update(f.read())
     else:
         h.update(f"fresh:{vehicle_name}".encode())
-    for k in ("cost_params", "state_constr", "input_constr"):
+    # "discount" weights every stage of the probe's cost (cost/cost.py
+    # reads the top-level key) — it must invalidate like the weight dicts.
+    for k in ("cost_params", "state_constr", "input_constr", "discount"):
         h.update(json.dumps(cfg.get(k), sort_keys=True, default=str).encode())
     h.update(np.asarray(time_steps_np, np.float64).tobytes())
     h.update(np.asarray(lb_np).tobytes())

@@ -213,6 +213,27 @@ class Endpoint:
             self.sock.close()
 
 
+def _frame_crc_verdict(frame: bytes) -> Optional[bool]:
+    """CRC verdict for one complete v1/v2 frame: True/False when the
+    msgid belongs to the known dialect, None when it cannot be judged
+    (unknown msgid — the router stays dialect-agnostic)."""
+    from sde4mbrl_px4_tpu.io import mavlink as _mav
+
+    mid = _msgid(frame)
+    if mid is None:
+        return None
+    try:
+        extra = _mav.crc_extra(mid)
+    except ValueError:
+        return None
+    plen = frame[1]
+    hdr = 9 if frame[0] == 0xFD else 5
+    crc = _mav._crc_buf(frame[1 : 1 + hdr + plen])
+    crc = _mav._crc_acc(extra, crc)
+    rx = frame[1 + hdr + plen] | (frame[2 + hdr + plen] << 8)
+    return crc == rx
+
+
 class Deframer:
     """MAVLink stream reassembler for byte-stream transports (UART).
 
@@ -222,7 +243,10 @@ class Deframer:
     for its UartEndpoints). ``feed(bytes)`` returns every COMPLETE frame
     terminated inside the data so far; partial tails are buffered. Bytes
     that are not a valid v1/v2 frame start are skipped until the next
-    0xFD/0xFE magic (resync after line noise / mid-frame attach).
+    0xFD/0xFE magic, and a known-dialect frame that fails CRC resyncs ONE
+    byte in — so a corrupted length byte costs one frame, not the good
+    frames its fake length would have swallowed (mavlink-routerd
+    semantics; frames of unknown dialects pass through unvalidated).
     """
 
     def __init__(self) -> None:
@@ -247,7 +271,11 @@ class Deframer:
                 n = 8 + buf[off + 1]
             if off + n > len(buf):
                 break                        # incomplete tail: keep buffering
-            frames.append(bytes(buf[off : off + n]))
+            cand = bytes(buf[off : off + n])
+            if _frame_crc_verdict(cand) is False:
+                off += 1                     # corrupt known frame: resync +1
+                continue
+            frames.append(cand)
             off += n
         del buf[:off]
         return frames
@@ -274,7 +302,11 @@ class SerialEndpoint:
     def open(self) -> None:
         import termios
 
-        self.fd = os.open(self.device, os.O_RDWR | os.O_NOCTTY)
+        # O_NONBLOCK: without it, open(2) on a modem-control line blocks
+        # on carrier-detect before CLOCAL can even be applied (the C++
+        # twin guards the same way, csrc/router.cpp router_add_uart).
+        self.fd = os.open(self.device,
+                          os.O_RDWR | os.O_NOCTTY | os.O_NONBLOCK)
         try:
             attrs = termios.tcgetattr(self.fd)
             # raw 8N1 (cfmakeraw equivalent)
@@ -312,7 +344,13 @@ class SerialEndpoint:
             return self._check_in(self._pending.pop(0))
         try:
             data = os.read(self.fd, 65536)
+        except BlockingIOError:
+            time.sleep(0.01)  # non-blocking fd, nothing buffered
+            return None
         except OSError:
+            # device died (unplugged adapter: EIO/ENXIO) — back off hard
+            # instead of busy-spinning the pump thread at 100% CPU
+            time.sleep(0.1)
             return None
         if not data:
             time.sleep(0.01)  # EOF/no data: don't spin the pump thread

@@ -339,13 +339,15 @@ def flight_log_to_ulog(log: Dict[str, np.ndarray], path: str) -> None:
     cm = np.asarray(log.get("cmd_motors", np.zeros((len(t_usec), 6))),
                     np.float32)
     # actuator_motors = ACHIEVED outputs (PX4 semantics) when the log
-    # carries the FCU's m1..m4 readings; legacy logs without them fall
-    # back to the commanded values so existing layouts keep rendering.
-    am = np.asarray(log.get("motors", np.zeros((len(t_usec), 4))),
-                    np.float32)
-    have_achieved = bool(np.any(am))
-    topics["actuator_motors"] = {
-        "timestamp": t_usec, "control": am if have_achieved else cm}
+    # carries the FCU's m1..m4 readings; legacy logs WITHOUT the field
+    # fall back to the commanded values so existing layouts keep
+    # rendering. Presence decides, not values: an all-zero achieved
+    # column (never-armed capture) is real data — exporting commands in
+    # its place would overlay the command against itself in the
+    # cmd-vs-achieved layout and fake perfect tracking.
+    have_achieved = "motors" in log
+    am = np.asarray(log["motors"], np.float32) if have_achieved else cm
+    topics["actuator_motors"] = {"timestamp": t_usec, "control": am}
     tr = np.asarray(log.get("cmd_thrust_rates", np.zeros((len(t_usec), 4))),
                     np.float32)
     topics["vehicle_rates_setpoint"] = {

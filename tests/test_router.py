@@ -555,3 +555,39 @@ def test_tlog_to_flight_log_and_render(tmp_path):
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-800:]
     assert os.path.exists(out)
+
+
+def test_deframer_crc_resync_on_corrupt_length():
+    """A corrupted LENGTH byte on a known-dialect frame must cost one
+    frame, not the good frames its fake length would swallow: the
+    deframer CRC-checks known msgids and resyncs at magic+1 on failure
+    (mavlink-routerd semantics)."""
+    from sde4mbrl_px4_tpu.io.router import Deframer
+
+    f1 = bytes(mav.encode_full_state(1, np.zeros(13, np.float32), seq=1))
+    f2 = bytes(mav.encode_full_state(2, np.ones(13, np.float32), seq=2))
+    corrupt = bytearray(f1)
+    corrupt[1] += 7                     # fake length: would eat into f2
+    d = Deframer()
+    out = d.feed(bytes(corrupt) + f2 + f2)
+    # the corrupted frame is dropped, BOTH following frames recovered
+    assert out.count(f2) == 2
+    assert bytes(corrupt) not in out
+
+    # unknown-dialect frames (no crc_extra known) still pass through
+    v1_unknown = bytes([0xFE, 3, 0, 1, 1, 99, 7, 7, 7, 0xAB, 0xCD])
+    assert Deframer().feed(v1_unknown) == [v1_unknown]
+
+
+def test_uart_corrupt_length_native(uart_topology):
+    """Same corrupted-length recovery through the NATIVE (or py) router's
+    serial leg: the following good frame still reaches the UDP peer."""
+    import os
+
+    r, master, mpc_sock, mpc_port = uart_topology
+    good = bytes(mav.encode_full_state(42, np.zeros(13, np.float32)))
+    corrupt = bytearray(good)
+    corrupt[1] += 5
+    os.write(master, bytes(corrupt) + good)
+    got, _ = mpc_sock.recvfrom(512)
+    assert got == good

@@ -140,7 +140,12 @@ def test_flight_recorder_saves_ulg(tmp_path):
     r.save(p)
     d = read_ulog(p)["data"]
     assert len(d["vehicle_local_position"]["timestamp"]) == 10
-    np.testing.assert_allclose(d["actuator_motors"]["control"][:, 0], 0.5)
+    # Recorder logs carry the achieved-motors field (zeros here: no FCU
+    # readings were recorded), so actuator_motors is ACHIEVED and the
+    # commanded channel lives under the reference's own topic.
+    np.testing.assert_allclose(d["actuator_motors"]["control"], 0.0)
+    np.testing.assert_allclose(
+        d["mpc_motors_cmd"]["motor_val_des"][:, 0], 0.5)
 
 
 # ---- parser fuzz: arbitrary bytes must never crash -------------------------
