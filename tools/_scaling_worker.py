@@ -31,7 +31,6 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
-import yaml  # noqa: E402
 
 
 def main():
