@@ -44,6 +44,10 @@ def main():
                     help="dir with <vehicle>_{traj,posctrl}_policy.pkl "
                          "(as saved by policy_distill.py); default: the "
                          "shipped checkpoints in configs/models")
+    ap.add_argument("--deadline-ms", type=float, default=0.0,
+                    help="arm deadline-aware solving: inject "
+                         "apg_mpc.deadline_ms so the engine bounds each "
+                         "solve by a measured iteration budget")
     ap.add_argument("--refine-iters", type=int, default=0,
                     help="with --solver policy: APG polish iterations per "
                          "solve (policy.refine_iters — amortized cold-start "
@@ -80,9 +84,10 @@ def main():
 
     traj_cfg = os.path.join(here, f"configs/{args.vehicle}_traj_mpc.yaml")
     pos_cfg = os.path.join(here, f"configs/{args.vehicle}_posctrl_mpc.yaml")
-    if args.solver != "apg":
-        # Inject the solver family into temp copies of the shipped configs;
-        # load_yaml_config already resolves the relative asset paths.
+    if args.solver != "apg" or args.deadline_ms:
+        # Inject the solver family / deadline into temp copies of the
+        # shipped configs; load_yaml_config already resolves the relative
+        # asset paths.
         import tempfile
         import yaml as _yaml
 
@@ -92,6 +97,8 @@ def main():
         for src in (traj_cfg, pos_cfg):
             c = load_yaml_config(src)
             c["solver"] = args.solver
+            if args.deadline_ms:
+                c.setdefault("apg_mpc", {})["deadline_ms"] = args.deadline_ms
             if args.solver == "policy":
                 kind = "traj" if src == traj_cfg else "posctrl"
                 pol_dir = args.policy_dir or os.path.join(
