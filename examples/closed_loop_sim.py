@@ -44,6 +44,10 @@ def main():
                     help="dir with <vehicle>_{traj,posctrl}_policy.pkl "
                          "(as saved by policy_distill.py); default: the "
                          "shipped checkpoints in configs/models")
+    ap.add_argument("--particles", type=int, default=0,
+                    help="fly the UNCERTAINTY-AWARE configuration: inject "
+                         "num_particles Monte-Carlo sample paths per solve "
+                         "(antithetic pairs) into the traj config")
     ap.add_argument("--deadline-ms", type=float, default=0.0,
                     help="arm deadline-aware solving: inject "
                          "apg_mpc.deadline_ms so the engine bounds each "
@@ -84,7 +88,7 @@ def main():
 
     traj_cfg = os.path.join(here, f"configs/{args.vehicle}_traj_mpc.yaml")
     pos_cfg = os.path.join(here, f"configs/{args.vehicle}_posctrl_mpc.yaml")
-    if args.solver != "apg" or args.deadline_ms:
+    if args.solver != "apg" or args.deadline_ms or args.particles:
         # Inject the solver family / deadline into temp copies of the
         # shipped configs; load_yaml_config already resolves the relative
         # asset paths.
@@ -99,6 +103,9 @@ def main():
             c["solver"] = args.solver
             if args.deadline_ms:
                 c.setdefault("apg_mpc", {})["deadline_ms"] = args.deadline_ms
+            if args.particles and src == traj_cfg:
+                c["num_particles"] = args.particles
+                c["antithetic"] = True
             if args.solver == "policy":
                 kind = "traj" if src == traj_cfg else "posctrl"
                 pol_dir = args.policy_dir or os.path.join(
