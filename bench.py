@@ -154,6 +154,11 @@ def main():
         policy_rate = _bench_policy(here, _log)
     except Exception as e:  # noqa: BLE001
         _log(f"policy bench skipped: {e!r}")
+    hexa_rate = None
+    try:
+        hexa_rate = _bench_hexa_chained(here, _log)
+    except Exception as e:  # noqa: BLE001
+        _log(f"hexa bench skipped: {e!r}")
 
     headline = chip_rate if chip_rate is not None else solves_per_sec
     # Config fingerprint: docs (README/PARITY) quote this hash next to the
@@ -181,6 +186,8 @@ def main():
         out["p99_vs_budget"] = round(pipe_stats["p99"] * 1e3 / 50.0, 3)
     if policy_rate is not None:
         out["policy_solves_per_sec"] = round(float(policy_rate), 1)
+    if hexa_rate is not None:
+        out["hexa_solves_per_sec"] = round(float(hexa_rate), 1)
     if steps_per_solve is not None:
         out["apg_steps_per_solve"] = round(float(steps_per_solve), 1)
     if p1024_stats is not None:
@@ -576,6 +583,52 @@ def _bench_policy(here, _log, K=50):
     per = (time.perf_counter() - t0) / (n * K)
     _log(f"amortized policy solver (one-shot plan net incl. telemetry "
          f"rollout): {per*1e3:.3f} ms/solve ({1/per:.0f} solves/s/chip)")
+    return 1.0 / per
+
+
+def _bench_hexa_chained(here, _log, K=10):
+    """BASELINE config 3 as a standing chip number: the 6-motor hexa
+    trajectory solve, chained on a pinned window like the iris headline
+    (same steady warm-started regime; larger decision width n_u=6)."""
+    import jax
+    import jax.numpy as jnp
+    from sde4mbrl_px4_tpu.core.frames import enu2ned
+    from sde4mbrl_px4_tpu.engine.mpc_loader import load_mpc_from_cfgfile
+
+    cfg, (reset_fn, mpc_fn), sft, _ = load_mpc_from_cfgfile(
+        os.path.join(here, "configs", "hexa_traj_mpc.yaml"))
+    dt = float(cfg["_time_steps"][0])
+    T0 = 3.0
+    x0 = jax.jit(lambda t: enu2ned(sft(t)))(jnp.float32(T0))
+    rng = jax.random.PRNGKey(0)
+    st0 = reset_fn(x0, rng, x0)
+
+    def chain(x, rng, st, t_start):
+        def body(carry, k):
+            x, rng, st = carry
+            u, st1, rng1, x_evol = mpc_fn(x, rng, st, t_start + k * dt, x)
+            return (x_evol[1], rng1, st1), (u[0], st1.num_steps)
+
+        (xf, rngf, stf), (us, steps) = jax.lax.scan(
+            body, (x, rng, st), jnp.arange(K, dtype=jnp.float32))
+        return xf, rngf, stf, us, steps
+
+    jc = jax.jit(chain)
+    x1, rng1, st1, us, _ = jc(x0, rng, st0, jnp.float32(T0))
+    jax.block_until_ready(us)
+    t1 = jnp.float32(T0 + K * dt)
+    out = jc(x1, rng1, st1, t1)
+    jax.block_until_ready(out[3])
+    steps_per_solve = float(jnp.mean(out[4]))
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        out = jc(x1, rng1, st1, t1)
+    jax.block_until_ready(out[3])
+    per = (time.perf_counter() - t0) / (n * K)
+    _log(f"hexa (6-motor) chained rate (pinned window, seed 0): "
+         f"{per*1e3:.2f} ms/solve ({1.0/per:.1f} solves/s/chip), "
+         f"{steps_per_solve:.1f} APG steps/solve")
     return 1.0 / per
 
 
