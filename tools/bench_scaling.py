@@ -191,19 +191,31 @@ def main():
             xs, rngs = make_batch_inputs(mesh, B, spread=0.5)
             ts = jax.device_put(jnp.zeros((B,)), NamedSharding(mesh, P("dp")))
         st = reset_b(xs, rngs, xs)
-        sol = mpc_b(xs, rngs, st, ts, xs)
+        # Rotating targets: every timed step re-plans toward a moved
+        # setpoint, so warm-started solves do real work (a fixed target
+        # converges and the early-exit measures ~1 iteration — the round-3
+        # batched-throughput artifact, ADVICE r3).
+        offs = [jnp.asarray(o, jnp.float32)
+                for o in ([0.5] + [0.0] * 12, [0.0, 0.5] + [0.0] * 11,
+                          [0.0, 0.0, -0.5] + [0.0] * 10)]
+        tgts = [xs + o[None, :] for o in offs]
+        sol = mpc_b(xs, rngs, st, ts, tgts[0])
         jax.block_until_ready(sol.u_opt)
         t0 = time.perf_counter()
-        n = 3
-        for _ in range(n):
-            sol = mpc_b(xs, sol.rng, sol.opt_state, ts, xs)
+        n = 6
+        steps = []
+        for k in range(n):
+            sol = mpc_b(xs, sol.rng, sol.opt_state, ts, tgts[k % len(tgts)])
+            steps.append(sol.opt_state.num_steps)
         jax.block_until_ready(sol.u_opt)
         dt = (time.perf_counter() - t0) / n
         thr = B / dt
+        steps_mean = float(jnp.mean(jnp.stack(steps)))
         results.append({"B": B, "ms_per_step": round(dt * 1e3, 2),
-                        "solves_per_sec": round(thr, 1)})
-        print(f"B={B:5d}  {dt*1e3:8.1f} ms/step  {thr:9.1f} solves/s",
-              file=sys.stderr)
+                        "solves_per_sec": round(thr, 1),
+                        "steps_per_solve": round(steps_mean, 1)})
+        print(f"B={B:5d}  {dt*1e3:8.1f} ms/step  {thr:9.1f} solves/s  "
+              f"({steps_mean:.1f} steps/solve)", file=sys.stderr)
         B *= 4
 
     base = results[0]["solves_per_sec"] / max(results[0]["B"], 1)
