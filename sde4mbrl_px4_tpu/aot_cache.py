@@ -75,6 +75,24 @@ def aot_cache_dir() -> str:
     return d
 
 
+def _committed_artifact_dir() -> Optional[str]:
+    """Read-only fallback: ``<repo>/artifacts/aot`` in a source checkout.
+
+    Ships the flagship bench executables with the repo so even a FRESH
+    machine's first bring-up loads instead of compiling (keys carry the
+    package-source hash + jax version + backend fingerprint, so a stale
+    commit can never be served — it just misses). New artifacts are
+    always written machine-local; this dir is repopulated deliberately
+    (commit after the final package change of a round)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if any(os.path.exists(os.path.join(repo, m))
+           for m in (".git", "pyproject.toml")):
+        d = os.path.join(repo, "artifacts", "aot")
+        if os.path.isdir(d):
+            return d
+    return None
+
+
 def _backend_fingerprint() -> str:
     try:
         dev = jax.devices()[0]
@@ -124,9 +142,15 @@ def load_or_compile(lowered, tag: str = "fn",
     ).hexdigest()[:24]
     d = cache_dir or aot_cache_dir()
     path = os.path.join(d, f"{tag}-{key}.aotx")
-    if os.path.exists(path):
+    committed = _committed_artifact_dir() if cache_dir is None else None
+    candidates = [path]
+    if committed:
+        candidates.append(os.path.join(committed, f"{tag}-{key}.aotx"))
+    for cand in candidates:
+        if not os.path.exists(cand):
+            continue
         try:
-            with open(path, "rb") as f:
+            with open(cand, "rb") as f:
                 payload, in_tree, out_tree, ndev = pickle.load(f)
             # deserialize_and_load defaults to ALL backend devices; these
             # are single-program executables — restore onto the first
@@ -136,10 +160,11 @@ def load_or_compile(lowered, tag: str = "fn",
                 payload, in_tree, out_tree,
                 execution_devices=jax.devices()[:ndev])
         except Exception:  # incompatible/corrupt artifact: recompile
-            try:
-                os.remove(path)
-            except OSError:
-                pass
+            if cand == path:  # never unlink the committed copy
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
     compiled = lowered.compile()
     try:
         ndev = len(compiled.input_shardings[0][0].device_set) if \
