@@ -333,18 +333,45 @@ def _bench_chained(here, _log, cfg, mpc_fn, reset_fn, state_from_traj, K=10,
     x1, rng1, st1, us, _ = jc(x0, rng, st0, jnp.float32(t_start))
     jax.block_until_ready(us)
     t1 = jnp.float32(t_start + K * dt)
-    # pinned window [t_start+K*dt, t_start+2K*dt): identical inputs each rep
-    xf, rngf, stf, us, steps = jc(x1, rng1, st1, t1)
-    jax.block_until_ready(us)
-    steps_per_solve = float(jnp.mean(steps))
+
+    # R in-program repetitions of the pinned window (round-4 measurement
+    # fix): one program call carries a fixed host+tunnel dispatch cost
+    # (~4-5 ms/call through the dev tunnel), so at R=1 a K=10 chain still
+    # hides ~0.45 ms/solve of DISPATCH inside the "on-device" number —
+    # measured by sweeping R at bit-identical steps/solve (45.4): R=1
+    # 6.15 ms/solve, R=10 5.66 ms/solve. The outer scan re-solves the SAME
+    # pinned window from the same (state, warm start, rng), so the
+    # workload and its steps/solve stay bit-identical; only the dispatch
+    # amortization changes (steps parity across reps is asserted below).
+    # If a future XLA release learns to hoist the loop-invariant rep body,
+    # the ms/solve would drop ~R×, which the round-over-round bench record
+    # makes obvious; verified un-hoisted on jax 0.8.x (R=10 costs 9.2× R=1).
+    R = 10
+
+    def rep_chain(x, rng, st, t_start):
+        def outer(carry, _):
+            _, _, _, us, steps = chain(x, rng, st, t_start)
+            return carry, (us, steps)
+        _, (uss, stepss) = jax.lax.scan(
+            outer, jnp.float32(0.0), jnp.arange(R))
+        return uss, stepss
+
+    jr = jax.jit(rep_chain)
+    uss, stepss = jr(x1, rng1, st1, t1)
+    jax.block_until_ready(uss)
+    steps_np = np.asarray(stepss)                       # (R, K)
+    assert (steps_np == steps_np[0]).all(), \
+        "rep windows diverged — pinned-window invariant broken"
+    steps_per_solve = float(steps_np.mean())
     t0 = time.perf_counter()
     n = 5
     for _ in range(n):
-        out = jc(x1, rng1, st1, t1)
-    jax.block_until_ready(out[3])
-    per_solve = (time.perf_counter() - t0) / (n * K)
+        out = jr(x1, rng1, st1, t1)
+    jax.block_until_ready(out[0])
+    per_solve = (time.perf_counter() - t0) / (n * K * R)
     _log(f"on-device chained rate (pinned window t=[{float(t1):.2f},"
-         f"{float(t1) + K * dt:.2f}), seed 0): {per_solve*1e3:.2f} ms/solve "
+         f"{float(t1) + K * dt:.2f}), seed 0, {R}x{K} solves/program): "
+         f"{per_solve*1e3:.2f} ms/solve "
          f"({1.0/per_solve:.1f} solves/s excl. host dispatch), "
          f"{steps_per_solve:.1f} APG steps/solve")
     return 1.0 / per_solve, steps_per_solve
@@ -617,16 +644,33 @@ def _bench_hexa_chained(here, _log, K=10):
     x1, rng1, st1, us, _ = jc(x0, rng, st0, jnp.float32(T0))
     jax.block_until_ready(us)
     t1 = jnp.float32(T0 + K * dt)
-    out = jc(x1, rng1, st1, t1)
-    jax.block_until_ready(out[3])
-    steps_per_solve = float(jnp.mean(out[4]))
+    # R in-program repetitions of the pinned window: amortize the fixed
+    # program-call dispatch below 0.1 ms/solve (see _bench_chained).
+    R = 10
+
+    def rep_chain(x, rng, st, t_start):
+        def outer(carry, _):
+            _, _, _, us, steps = chain(x, rng, st, t_start)
+            return carry, (us, steps)
+        _, (uss, stepss) = jax.lax.scan(
+            outer, jnp.float32(0.0), jnp.arange(R))
+        return uss, stepss
+
+    jr = jax.jit(rep_chain)
+    uss, stepss = jr(x1, rng1, st1, t1)
+    jax.block_until_ready(uss)
+    steps_np = np.asarray(stepss)
+    assert (steps_np == steps_np[0]).all(), \
+        "rep windows diverged — pinned-window invariant broken"
+    steps_per_solve = float(steps_np.mean())
     t0 = time.perf_counter()
     n = 5
     for _ in range(n):
-        out = jc(x1, rng1, st1, t1)
-    jax.block_until_ready(out[3])
-    per = (time.perf_counter() - t0) / (n * K)
-    _log(f"hexa (6-motor) chained rate (pinned window, seed 0): "
+        out = jr(x1, rng1, st1, t1)
+    jax.block_until_ready(out[0])
+    per = (time.perf_counter() - t0) / (n * K * R)
+    _log(f"hexa (6-motor) chained rate (pinned window, seed 0, "
+         f"{R}x{K} solves/program): "
          f"{per*1e3:.2f} ms/solve ({1.0/per:.1f} solves/s/chip), "
          f"{steps_per_solve:.1f} APG steps/solve")
     return 1.0 / per

@@ -32,12 +32,21 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 K = 10
 
 
-def chain_time(fn, init_carry, label, n=5):
-    """Scan fn K times inside one jit; time n repeats."""
+def chain_time(fn, init_carry, label, n=5, k=None):
+    """Scan fn k times inside one jit; time n repeats.
+
+    Every program CALL pays a fixed host+tunnel dispatch cost (measured
+    ~4-9 ms/call through the dev tunnel), so per-invocation numbers carry
+    a ~dispatch/k floor: at k=10 that is ~0.5-0.9 ms — larger than the
+    true device cost of the small stages (ref_build, traj_orc). The
+    ``null`` stage in main() measures the floor at each k so it can be
+    subtracted; cheap stages also run at a larger k to shrink it."""
+    k = K if k is None else k
+
     def chained(carry):
         def body(c, _):
             return fn(c), 0.0
-        c, _ = jax.lax.scan(body, carry, jnp.arange(K))
+        c, _ = jax.lax.scan(body, carry, jnp.arange(k))
         return c
 
     jc = jax.jit(chained)
@@ -48,7 +57,7 @@ def chain_time(fn, init_carry, label, n=5):
     for _ in range(n):
         c = jc(c)
     jax.block_until_ready(jax.tree.leaves(c)[0])
-    per = (time.perf_counter() - t0) / (n * K)
+    per = (time.perf_counter() - t0) / (n * k)
     print(f"{label:10s} {per*1e3:7.3f} ms/invocation", flush=True)
     # c_warm = carry AFTER the (untimed) warmup chain, c = after the timed
     # chains — accumulators can be differenced to exclude cold-start solves
@@ -57,6 +66,18 @@ def chain_time(fn, init_carry, label, n=5):
 
 def main():
     print(f"devices: {jax.devices()}", flush=True)
+
+    # Per-call dispatch floor at each chain length used below — subtracted
+    # from every stage so the split reflects DEVICE time, not tunnel
+    # weather (round-4 fix: at k=10 the floor is ~0.5-0.9 ms/invocation,
+    # which used to swamp the small stages and read as "fixed kernel
+    # entry cost").
+    def null(c):
+        return (c[0] + 1.0,)
+
+    t_null10 = chain_time(null, (jnp.float32(0),), "null_k10")[0]
+    t_null100 = chain_time(null, (jnp.float32(0),), "null_k100", k=100)[0]
+
     cfg, (reset_fn, mpc_fn), sft, b = load_mpc_from_cfgfile(
         os.path.join(HERE, "configs", "iris_traj_mpc.yaml"))
     dt = float(cfg["_time_steps"][0])
@@ -113,11 +134,15 @@ def main():
             b.lb, b.ub, st0.yk)
         return (k + 1.0, st.num_steps)
 
-    t_mega1, _, _ = chain_time(mega1, (jnp.float32(0), jnp.float32(0)), "mega_1iter")
+    t_mega1, _, _ = chain_time(mega1, (jnp.float32(0), jnp.float32(0)),
+                               "mega_1iter", k=100)
     steps_cold = float(st_cold[1])
-    per_iter = (t_mega - t_mega1) / max(steps_cold - 1.0, 1.0)
-    print(f"  fixed ~{t_mega1*1e3:.3f} ms (incl. 1 iter + ref build), "
-          f"per-iter ~{per_iter*1e3:.3f} ms")
+    t_mega_c = t_mega - t_null10
+    t_mega1_c = max(t_mega1 - t_null100, 0.0)
+    per_iter = (t_mega_c - t_mega1_c) / max(steps_cold - 1.0, 1.0)
+    print(f"  fixed ~{t_mega1_c*1e3:.3f} ms device (incl. 1 iter + init/"
+          f"exit sweeps + ref build; raw {t_mega1*1e3:.3f} ms less the "
+          f"k=100 dispatch floor), per-iter ~{per_iter*1e3:.3f} ms")
 
     oracle = pallas_cost_oracle(
         b.model, b.params, b.cost_params, b.time_steps, x, x_ref, u_prev,
@@ -128,27 +153,41 @@ def main():
         xe = oracle.trajectory(yk)
         return (yk, xe[1, 0])
 
-    t_traj, _, _ = chain_time(traj_orc, (st0.yk, jnp.float32(0)), "traj_orc")
+    t_traj = max(chain_time(traj_orc, (st0.yk, jnp.float32(0)), "traj_orc",
+                            k=100)[0] - t_null100, 0.0)
+    print(f"  (traj_orc device time after floor subtraction: "
+          f"{t_traj*1e3:.3f} ms)")
 
     def ref_build(c):
         t, acc = c
         ref = enu2ned(sft(t + b.knot_times))
         return (t + dt, acc + ref[0, 0])
 
-    t_ref = chain_time(ref_build, (jnp.float32(T0), jnp.float32(0)),
-                       "ref_build")[0]
+    t_ref = max(chain_time(ref_build, (jnp.float32(T0), jnp.float32(0)),
+                           "ref_build", k=100)[0] - t_null100, 0.0)
+    print(f"  (ref_build device time after floor subtraction: "
+          f"{t_ref*1e3:.3f} ms)")
 
     # The full chain runs WARM (steps_warm/solve); normalize the kernel time
     # to the same iteration count before subtracting, else the cold-start
-    # kernel (steps_cold) over-counts and glue goes negative.
-    t_mega_warm = t_mega1 + max(steps_warm - 1.0, 0.0) * per_iter
-    glue = t_full - t_mega_warm - t_traj
+    # kernel (steps_cold) over-counts and glue goes negative. The flagship
+    # P=1 path FUSES the predicted trajectory into the kernel's exit sweep
+    # (mpc_loader return_traj), so traj_orc is context (the launch the
+    # fusion removed), NOT a component of `full`.
+    t_full_c = t_full - t_null10
+    t_mega_warm = t_mega1_c + max(steps_warm - 1.0, 0.0) * per_iter
+    glue = t_full_c - t_mega_warm
+    print(f"{'full_dev':10s} {t_full_c*1e3:7.3f} ms/invocation (full less "
+          "the k=10 dispatch floor)")
     print(f"{'mega_warm':10s} {t_mega_warm*1e3:7.3f} ms/invocation (derived: "
           f"fixed + {steps_warm:.0f} warm iters x per-iter)")
-    print(f"{'xla_glue':10s} {glue*1e3:7.3f} ms/invocation (derived; full - "
-          "mega_warm - traj_orc; mega_warm already includes a ref build)")
-    print(f"split: kernel {t_mega_warm/t_full:.0%}  traj {t_traj/t_full:.0%}  "
-          f"ref {t_ref/t_full:.0%}  glue {glue/t_full:.0%}")
+    print(f"{'xla_glue':10s} {glue*1e3:7.3f} ms/invocation (derived; "
+          "full_dev - mega_warm; incl. the x_evol/stats export and shift "
+          "— the ref build is already inside mega_warm)")
+    print(f"split (of device time): kernel {t_mega_warm/t_full_c:.0%}  "
+          f"glue {glue/t_full_c:.0%}; context: traj_orc {t_traj*1e3:.3f} ms "
+          f"(fused away at P=1), ref_build {t_ref*1e3:.3f} ms, dispatch "
+          f"floor {t_null10*1e3:.3f} ms/invocation at k=10")
     print("(glue within ~±15% of zero = the solve IS the kernel; the "
           "per-iter linear model is fit on cold solves, so small negative "
           "values are model error, not negative work)")
