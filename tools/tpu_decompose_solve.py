@@ -109,40 +109,78 @@ def main():
     x_ref = enu2ned(sft(T0 + b.knot_times))
     u_prev = st0.yk[0]
 
-    # NOTE: feed yk0 back in (NOT the converged yk) and advance x_ref per
-    # call, else every chained call early-exits at ~0 iterations and this
-    # measures only the fixed overhead (observed: 2.5 ms at steps~0).
-    def mega(c):
-        k, _ = c
-        st = pallas_apg_solve(
-            b.model, b.params, b.cost_params, b.apg_config, b.time_steps,
-            x, enu2ned(sft(T0 + k * dt + b.knot_times)), u_prev, noise, 1,
-            b.lb, b.ub, st0.yk)
-        return (k + 1.0, st.num_steps)
+    # Measure the kernel the flagship actually runs: with `precond:
+    # hover_diag` configured, mpc_fn passes the diagonal metric into the
+    # kernel, and the preconditioned program costs ~25% more per iteration
+    # (D-scaled candidates + BB secant extras) than the bare one — fitting
+    # fixed/per-iter on the bare kernel misattributes that delta to "XLA
+    # glue" (measured round 4: a kernel-only chain replicating mpc_fn's
+    # mega path costs the same ms/step as mpc_fn itself; the wrapper is
+    # free).
+    precond = None
+    if str(cfg["apg_mpc"].get("precond") or "none") == "hover_diag":
+        import numpy as _np
+        from sde4mbrl_px4_tpu.engine.mpc_loader import (
+            _precond_cache_key, _precond_cache_paths)
+        nZ_p = int(st0.yk.shape[1])
+        pkey = _precond_cache_key(
+            cfg, b.model.vehicle.name,
+            _np.asarray(b.time_steps, _np.float64),
+            # the loader keys on the float32 bound arrays byte-for-byte
+            _np.asarray(b.lb, _np.float32), _np.asarray(b.ub, _np.float32),
+            nZ_p, b.convert_to_enu)
+        for cand in _precond_cache_paths(cfg, pkey):
+            if os.path.exists(cand):
+                arr = _np.load(cand)
+                if arr.shape == (H, nZ_p):
+                    precond = jnp.asarray(arr, jnp.float32)
+                    break
+        print(f"precond: {'loaded (flagship kernel)' if precond is not None else 'artifact MISS — measuring the bare kernel'}",
+              flush=True)
 
-    t_mega, _, _ = chain_time(mega, (jnp.float32(0), jnp.float32(0)), "mega_cold")
-    st_cold = jax.jit(mega)((jnp.float32(0), jnp.float32(0)))
-    print(f"  (cold-start steps/solve: {float(st_cold[1]):.0f})")
+    # Fixed/per-iter fit via FORCED iteration budgets on fixed inputs
+    # (round-4 methodology fix). The old fit chained "cold" solves and
+    # assumed each ran max_iter=200 iterations — but only the FIRST does;
+    # the later chained calls (advancing x_ref, same warm start) converge
+    # earlier, so the slope came out ~35% low and the residual read as
+    # "XLA glue". ``iter_budget`` pins the while-loop trip count exactly
+    # (asserted via num_steps), and three budget points confirm linearity.
+    def mega_budget(budget, k=10, r=10, n=5):
+        def body(c, kk):
+            st = pallas_apg_solve(
+                b.model, b.params, b.cost_params, b.apg_config,
+                b.time_steps, x, x_ref, u_prev, noise, 1,
+                b.lb, b.ub, st0.yk, precond=precond,
+                iter_budget=jnp.int32(budget))
+            return c, st.num_steps
+        def outer(c, _):
+            _, s = jax.lax.scan(body, 0.0, jnp.arange(k, dtype=jnp.float32))
+            return c, s
+        def prog(z):
+            _, s = jax.lax.scan(outer, z, jnp.arange(r))
+            return s
+        jp = jax.jit(prog)
+        s = jp(jnp.float32(0))
+        jax.block_until_ready(s)
+        assert float(jnp.min(s)) == float(budget), "budget not honored"
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = jp(jnp.float32(0))
+        jax.block_until_ready(o)
+        per = (time.perf_counter() - t0) / (n * k * r)
+        print(f"{'mega_b%-3d' % budget:10s} {per*1e3:7.3f} ms/invocation "
+              f"({k*r} solves/program call)", flush=True)
+        return per
 
-    apg1 = b.apg_config._replace(max_iter=1)
-
-    def mega1(c):
-        k, _ = c
-        st = pallas_apg_solve(
-            b.model, b.params, b.cost_params, apg1, b.time_steps,
-            x, enu2ned(sft(T0 + k * dt + b.knot_times)), u_prev, noise, 1,
-            b.lb, b.ub, st0.yk)
-        return (k + 1.0, st.num_steps)
-
-    t_mega1, _, _ = chain_time(mega1, (jnp.float32(0), jnp.float32(0)),
-                               "mega_1iter", k=100)
-    steps_cold = float(st_cold[1])
-    t_mega_c = t_mega - t_null10
-    t_mega1_c = max(t_mega1 - t_null100, 0.0)
-    per_iter = (t_mega_c - t_mega1_c) / max(steps_cold - 1.0, 1.0)
-    print(f"  fixed ~{t_mega1_c*1e3:.3f} ms device (incl. 1 iter + init/"
-          f"exit sweeps + ref build; raw {t_mega1*1e3:.3f} ms less the "
-          f"k=100 dispatch floor), per-iter ~{per_iter*1e3:.3f} ms")
+    t_b10 = mega_budget(10)
+    t_b40 = mega_budget(40)
+    t_b100 = mega_budget(100)
+    per_iter = (t_b100 - t_b10) / 90.0
+    t_mega1_c = max(t_b10 - 10.0 * per_iter, 0.0)  # extrapolated fixed
+    lin_err = abs((t_b40 - t_b10) / 30.0 - per_iter) / per_iter
+    print(f"  fixed ~{t_mega1_c*1e3:.3f} ms device (launch + init/exit "
+          f"sweeps + ref build), per-iter ~{per_iter*1e3:.4f} ms "
+          f"(3-point fit, mid-point slope deviation {lin_err:.1%})")
 
     oracle = pallas_cost_oracle(
         b.model, b.params, b.cost_params, b.time_steps, x, x_ref, u_prev,
@@ -168,29 +206,53 @@ def main():
     print(f"  (ref_build device time after floor subtraction: "
           f"{t_ref*1e3:.3f} ms)")
 
-    # The full chain runs WARM (steps_warm/solve); normalize the kernel time
-    # to the same iteration count before subtracting, else the cold-start
-    # kernel (steps_cold) over-counts and glue goes negative. The flagship
-    # P=1 path FUSES the predicted trajectory into the kernel's exit sweep
-    # (mpc_loader return_traj), so traj_orc is context (the launch the
-    # fusion removed), NOT a component of `full`.
-    t_full_c = t_full - t_null10
-    t_mega_warm = t_mega1_c + max(steps_warm - 1.0, 0.0) * per_iter
+    # Re-time the FULL path with the bench's R-rep amortization (solver
+    # programs carry a per-call overhead the null chain does not model —
+    # constant/executable handling scales with program size; measured
+    # ~0.5 ms/solve at k=10 for the mega program): R replays of the same
+    # warm K-window inside one program, per-call overhead /(K*R).
+    R = 10
+
+    def full_rep(z):
+        def outer(zz, _):
+            def body(cc, _):
+                return full(cc), 0.0
+            cN, _ = jax.lax.scan(body, c_w, jnp.arange(K))
+            return zz, cN[4]
+        _, accs = jax.lax.scan(outer, z, jnp.arange(R))
+        return accs
+
+    jfr = jax.jit(full_rep)
+    accs = jfr(jnp.float32(0))
+    jax.block_until_ready(accs)
+    steps_rep = (float(accs[0]) - float(c_w[4])) / K
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        accs = jfr(jnp.float32(0))
+    jax.block_until_ready(accs)
+    t_full_c = (time.perf_counter() - t0) / (n * K * R)
+    print(f"{'full_rep':10s} {t_full_c*1e3:7.3f} ms/invocation "
+          f"({K*R} solves/program call, {steps_rep:.1f} steps/solve)")
+
+    # The flagship P=1 path FUSES the predicted trajectory into the
+    # kernel's exit sweep (mpc_loader return_traj), so traj_orc is context
+    # (the launch the fusion removed), NOT a component of `full`.
+    t_mega_warm = t_mega1_c + steps_rep * per_iter
     glue = t_full_c - t_mega_warm
-    print(f"{'full_dev':10s} {t_full_c*1e3:7.3f} ms/invocation (full less "
-          "the k=10 dispatch floor)")
     print(f"{'mega_warm':10s} {t_mega_warm*1e3:7.3f} ms/invocation (derived: "
-          f"fixed + {steps_warm:.0f} warm iters x per-iter)")
+          f"fixed + {steps_rep:.1f} warm iters x per-iter)")
     print(f"{'xla_glue':10s} {glue*1e3:7.3f} ms/invocation (derived; "
-          "full_dev - mega_warm; incl. the x_evol/stats export and shift "
+          "full_rep - mega_warm; incl. the x_evol/stats export and shift "
           "— the ref build is already inside mega_warm)")
     print(f"split (of device time): kernel {t_mega_warm/t_full_c:.0%}  "
           f"glue {glue/t_full_c:.0%}; context: traj_orc {t_traj*1e3:.3f} ms "
-          f"(fused away at P=1), ref_build {t_ref*1e3:.3f} ms, dispatch "
-          f"floor {t_null10*1e3:.3f} ms/invocation at k=10")
-    print("(glue within ~±15% of zero = the solve IS the kernel; the "
-          "per-iter linear model is fit on cold solves, so small negative "
-          "values are model error, not negative work)")
+          f"(fused away at P=1), ref_build {t_ref*1e3:.3f} ms, k=10 "
+          f"chain per-invocation floor: null {t_null10*1e3:.3f} ms, "
+          f"raw full {t_full*1e3:.3f} ms")
+    print("(glue within ~±10% of zero = the solve IS the kernel: fixed + "
+          "steps x per-iter explains the full path; the reference build, "
+          "shift and telemetry export are noise at this scale)")
 
 
 if __name__ == "__main__":
