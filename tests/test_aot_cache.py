@@ -60,3 +60,39 @@ def test_corrupt_artifact_recompiled(tmp_path):
     (name2,) = os.listdir(d)
     assert name2 == name
     assert os.path.getsize(os.path.join(d, name2)) > 100
+
+
+def test_committed_artifacts_fresh_at_head():
+    """The committed ``artifacts/aot`` executables must match HEAD
+    (VERDICT r4 item 4): their keys embed the package-source hash, so any
+    ``.py`` or config edit silently orphans them — fresh-machine bring-up
+    would decay from ~10 s to compile-weather minutes with every test
+    green. This check turns that red: after changing package source or a
+    shipped config, re-run ``python tools/regen_aot_artifacts.py`` on the
+    TPU host and commit the refreshed artifacts + MANIFEST.json."""
+    from sde4mbrl_px4_tpu.aot_cache import check_committed_fresh
+
+    ok, reason = check_committed_fresh()
+    assert ok, reason
+
+
+def test_manifest_invalidation_surface(tmp_path, monkeypatch):
+    """check_committed_fresh flags a source-hash mismatch (simulated by
+    regenerating the manifest with a poisoned hash)."""
+    import json
+
+    from sde4mbrl_px4_tpu import aot_cache
+
+    d = str(tmp_path / "aot")
+    os.makedirs(d)
+    aot_cache.write_committed_manifest(d)
+    monkeypatch.setattr(aot_cache, "_committed_artifact_dir", lambda: d)
+    ok, _ = aot_cache.check_committed_fresh()
+    assert ok
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        m = json.load(f)
+    m["package_source_hash"] = "0" * 64
+    with open(os.path.join(d, "MANIFEST.json"), "w") as f:
+        json.dump(m, f)
+    ok, reason = aot_cache.check_committed_fresh()
+    assert not ok and "source changed" in reason

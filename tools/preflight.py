@@ -116,6 +116,19 @@ def main():
 
     check("trajectories", trajs)
 
+    # -- committed AOT artifacts ---------------------------------------------
+    def aot_fresh():
+        from sde4mbrl_px4_tpu.aot_cache import check_committed_fresh
+
+        ok, reason = check_committed_fresh()
+        if not ok:
+            raise RuntimeError(
+                f"{reason} (fresh-machine bring-up will pay full compiles; "
+                "run `python tools/regen_aot_artifacts.py` on the TPU host)")
+        return reason
+
+    check("committed AOT artifacts", aot_fresh)
+
     # -- device ---------------------------------------------------------------
     def device():
         import jax

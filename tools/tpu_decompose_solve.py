@@ -143,8 +143,11 @@ def main():
     # assumed each ran max_iter=200 iterations — but only the FIRST does;
     # the later chained calls (advancing x_ref, same warm start) converge
     # earlier, so the slope came out ~35% low and the residual read as
-    # "XLA glue". ``iter_budget`` pins the while-loop trip count exactly
-    # (asserted via num_steps), and three budget points confirm linearity.
+    # "XLA glue". ``iter_budget`` CAPS the while-loop trip count at
+    # min(max_iter, budget); saturation (every solve ran exactly the
+    # budget) is asserted via num_steps below, which requires
+    # max_iter >= the largest budget point AND the cold solve not
+    # converging before it — three budget points then confirm linearity.
     def mega_budget(budget, k=10, r=10, n=5):
         def body(c, kk):
             st = pallas_apg_solve(
@@ -172,10 +175,13 @@ def main():
               f"({k*r} solves/program call)", flush=True)
         return per
 
+    assert int(b.apg_config.max_iter) >= 100, (
+        f"budget fit needs max_iter >= 100 (budgets are caps, not trip "
+        f"counts); config has {b.apg_config.max_iter}")
     t_b10 = mega_budget(10)
     t_b40 = mega_budget(40)
     t_b100 = mega_budget(100)
-    per_iter = (t_b100 - t_b10) / 90.0
+    per_iter = max((t_b100 - t_b10) / 90.0, 1e-9)
     t_mega1_c = max(t_b10 - 10.0 * per_iter, 0.0)  # extrapolated fixed
     lin_err = abs((t_b40 - t_b10) / 30.0 - per_iter) / per_iter
     print(f"  fixed ~{t_mega1_c*1e3:.3f} ms device (launch + init/exit "
