@@ -97,7 +97,7 @@ class FCUSim:
     MPC_TIMEOUT = 2      # motor msg staleness > 20 ms
     MPC_HORIZON_OVERRUN = 3
 
-    def __init__(self, plant: SDEPlant, state_rate_hz: float = 100.0,
+    def __init__(self, plant, state_rate_hz: float = 100.0,
                  staleness_bound_s: float = 0.020):
         self.plant = plant
         self.state_dt = 1.0 / state_rate_hz
@@ -105,8 +105,17 @@ class FCUSim:
         self.status = self.MPC_OFF
         self.last_cmd_time: Optional[float] = None
         self.last_cmd: Optional[Tuple] = None
-        self.hover_u = plant.model.vehicle.hover_u
-        self.n_u = plant.model.n_u
+        # Plant surface: SDEPlant exposes these through its model;
+        # RigidBodyPlant (sim/rigid_body.py — the independent
+        # Gazebo-role plant) exposes them directly.
+        if hasattr(plant, "hover_u"):
+            self.hover_u = float(plant.hover_u)
+            self.n_u = int(plant.n_u)
+            self._mixing = np.asarray(plant.mixing)
+        else:
+            self.hover_u = plant.model.vehicle.hover_u
+            self.n_u = plant.model.n_u
+            self._mixing = np.asarray(plant.model.vehicle.mixing)
         # Firmware parameter store (the reference pushes COM_RCL_EXCEPT=4
         # pre-flight to disable the RC-loss failsafe,
         # ``basic_control.py:147-149``).
@@ -164,12 +173,11 @@ class FCUSim:
         """Simple P rate controller mapping [T, wx, wy, wz] to motors via the
         vehicle mixing pseudo-inverse (the PX4-side fallback executor)."""
         thrust, w_des = float(thrust_rates4[0]), thrust_rates4[1:4]
-        veh = self.plant.model.vehicle
         w_cur = self.plant.x[10:13]
         k_rate = 0.6
         tau_cmd = k_rate * (w_des - w_cur)
         # wrench = [T_total, tau]: T_total target = thrust * n_motors * ct
-        mix = veh.mixing
+        mix = self._mixing
         wrench = np.concatenate([[thrust * np.sum(mix[0])], tau_cmd])
         u = np.linalg.pinv(mix) @ wrench
         return np.clip(u, 1e-4, 1.0).astype(np.float32)
