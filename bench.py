@@ -148,8 +148,9 @@ def main():
         p1024_stats = _bench_particles(here, _log)
     except Exception as e:  # noqa: BLE001 — secondary metric must not kill bench
         _log(f"particle bench skipped: {e!r}")
+    batched_stats = None
     try:
-        _bench_batched_throughput(here, _log)
+        batched_stats = _bench_batched_throughput(here, _log)
     except Exception as e:  # noqa: BLE001
         _log(f"batched bench skipped: {e!r}")
     try:
@@ -201,6 +202,8 @@ def main():
         out.update(p1024_stats)
     if golden_stats is not None:
         out.update(golden_stats)
+    if batched_stats is not None:
+        out.update(batched_stats)
     out["startup_s"] = round(float(startup_s), 1)
     out["tunnel_first_fetch_s"] = round(float(first_fetch_s), 1)
     # Committed-artifact freshness (VERDICT r4 item 4): the 9.6 s
@@ -780,7 +783,13 @@ def _bench_batched_throughput(here, _log, B=256):
     sets) so the warm-started solves do real work — round 3 re-solved an
     already-converged state, and its "1.47 M solves/s" was the early-exit
     while_loop running ~1 iteration (advisor finding, ADVICE.md r3). The
-    observed steps/solve is reported so the figure is interpretable."""
+    observed steps/solve is reported so the figure is interpretable.
+
+    Also reports the batched path's achieved GFLOP/s and arithmetic
+    intensity (VERDICT r4 item 7): unlike the single-stream kernel
+    (issue-bound at ~13 GFLOP/s), the B-wide path feeds the MXU real
+    (B, feat) matmuls — the roofline section in docs/PERFORMANCE.md
+    carries the bound analysis."""
     import jax
     import jax.numpy as jnp
     from sde4mbrl_px4_tpu.io.config import load_yaml_config
@@ -812,9 +821,27 @@ def _bench_batched_throughput(here, _log, B=256):
     jax.block_until_ready(sol.u_opt)
     dt_s = (time.perf_counter() - t0) / n
     steps_mean = float(jnp.mean(jnp.stack(steps)))
+    rate = B / dt_s
+    # Achieved FLOP/s of the batched path: same per-iteration model as
+    # _achieved_gflops (grad sweep fwd+2x bwd + maxls candidate rollouts,
+    # 3 trunk matmuls per EM step), x B scenarios.
+    H = int(cfg["horizon"])
+    maxls = int(cfg["apg_mpc"]["linesearch"]["maxls"])
+    macs_step = 16 * 64 + 64 * 64 + 64 * 12
+    flops_solve = (3.0 + maxls) * H * macs_step * 2 * steps_mean
+    gflops = flops_solve * rate / 1e9
+    # Arithmetic intensity of the dominant op: (B,16)x(16,64) etc. with
+    # f32 weights resident — bytes/iter ~ activations in+out per matmul.
+    act_bytes = B * (16 + 64 + 64 + 64 + 12) * 4 * (3.0 + maxls) * H
+    ai = flops_solve * B / max(act_bytes * steps_mean, 1.0)
     _log(f"batched {B}-scenario re-targeted solve step (50-iter budget, "
          f"{steps_mean:.1f} steps/solve observed): {dt_s*1e3:.1f} ms "
-         f"= {B/dt_s:.0f} solves/s/chip throughput")
+         f"= {rate:.0f} solves/s/chip throughput; achieved "
+         f"{gflops:.0f} GFLOP/s at arithmetic intensity ~{ai:.0f} "
+         f"FLOP/byte (activation traffic)")
+    return {"batched_solves_per_sec": round(rate, 0),
+            "batched_steps_per_solve": round(steps_mean, 1),
+            "batched_gflops": round(gflops, 1)}
 
 
 if __name__ == "__main__":

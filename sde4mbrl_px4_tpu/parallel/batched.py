@@ -34,6 +34,7 @@ def make_batched_mpc(
     mesh: Mesh,
     convert_to_enu: bool = True,
     donate_state: bool = True,
+    local_loop: bool = True,
 ) -> Tuple[Callable, Callable, Any]:
     """Build (batched_reset, batched_mpc, bundle) sharded over ``mesh``'s dp axis.
 
@@ -43,6 +44,19 @@ def make_batched_mpc(
 
     The opt_state argument is donated (``donate_state``) so warm starts
     update in place on device across control steps — no HBM churn.
+
+    ``local_loop`` (default ON; round-5 fix for the small-batch scaling
+    floor): vmapping the solver's ``lax.while_loop`` turns its stop
+    condition into "ANY batch element still active", and under plain
+    GSPMD sharding that predicate is a cross-device ``pred[] all-reduce``
+    executed EVERY APG iteration — on a multi-process (DCN) mesh, one
+    cross-process rendezvous per iteration, which was the entire
+    b_per_dev=32 weak-scaling loss (SCALING.json r4: 0.40 vs-solo at 4
+    processes). The scenarios are independent, so the solve is wrapped in
+    ``shard_map``: each device's loop now reduces its OWN shard only —
+    zero collectives in the program — and a device stops as soon as ITS
+    scenarios converge instead of iterating until the globally slowest
+    one does.
     """
     # Scenario-DP uses the XLA solve path: the per-op dispatch overhead that
     # motivates the fused kernels amortizes across the vmapped batch (256
@@ -71,6 +85,27 @@ def make_batched_mpc(
         in_shardings=(shard_leading(2), shard_leading(2), shard_leading(2)),
         out_shardings=st_shardings,
     )
+    if local_loop:
+        from jax.experimental.shard_map import shard_map
+
+        def spec_leading(rank: int) -> P:
+            return P("dp", *([None] * (rank - 1)))
+
+        st_specs = APGState(
+            yk=spec_leading(3),
+            num_steps=P("dp"), stepsize=P("dp"), avg_stepsize=P("dp"),
+            avg_linesearch=P("dp"), grad_sqr=P("dp"), init_cost=P("dp"),
+            opt_cost=P("dp"),
+        )
+        v_mpc = shard_map(
+            v_mpc, mesh=mesh,
+            in_specs=(spec_leading(2), spec_leading(2), st_specs, P("dp"),
+                      spec_leading(2)),
+            out_specs=MPCSolution(
+                u_opt=spec_leading(3), opt_state=st_specs,
+                rng=spec_leading(2), x_evol=spec_leading(3)),
+            check_rep=False,
+        )
     mpc_sharded = jax.jit(
         v_mpc,
         in_shardings=(

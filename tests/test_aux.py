@@ -144,6 +144,12 @@ def test_live_monitor_overlay(tmp_path):
     assert mon.render(out)
     assert os.path.getsize(out) > 10000
     assert "rate err" in mon.summary()
+    # live 3-D scene leg (rviz-analogue): path + pose axes + reference
+    scene = str(tmp_path / "live_scene.png")
+    ref = np.stack([np.linspace(0, 1, 20), np.zeros(20), -np.ones(20)],
+                   axis=-1)
+    assert mon.render_scene(scene, ref_xyz=ref)
+    assert os.path.getsize(scene) > 10000
 
 
 def test_mission_param_push(repo_root):

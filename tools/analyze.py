@@ -119,16 +119,68 @@ class LiveMonitor:
         plt.close(fig)
         return True
 
+    def render_scene(self, out_png: str, ref_xyz=None) -> bool:
+        """LIVE 3-D scene: rolling flown path + current attitude axes
+        (+ optional reference trajectory) re-rendered per refresh — the
+        live half of the rviz analogue (the reference's rviz scene shows
+        vehicle pose + path live, ``launch/rviz_config.rviz``)."""
+        if not self.ach:
+            return False
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        xs = np.stack([r[1] for r in self.ach])
+        fig = plt.figure(figsize=(7, 6))
+        ax = fig.add_subplot(111, projection="3d")
+        ax.plot(xs[:, 1], xs[:, 0], -xs[:, 2], lw=1.2, label="flown")
+        if ref_xyz is not None and len(ref_xyz):
+            r = np.asarray(ref_xyz)
+            ax.plot(r[:, 1], r[:, 0], -r[:, 2], lw=1.0, ls="--",
+                    label="reference")
+        R = _q_to_rotmat(xs[-1, 6:10])
+        origin = np.array([xs[-1, 1], xs[-1, 0], -xs[-1, 2]])
+        scale = max(0.2, 0.05 * float(np.ptp(xs[:, :3])))
+        for k, (axis_color, nm) in enumerate(zip("rgb", ("xb", "yb", "zb"))):
+            v = R[:, k]
+            vv = np.array([v[1], v[0], -v[2]]) * scale
+            ax.plot([origin[0], origin[0] + vv[0]],
+                    [origin[1], origin[1] + vv[1]],
+                    [origin[2], origin[2] + vv[2]], color=axis_color, lw=2,
+                    label=nm)
+        ax.set_xlabel("E [m]"); ax.set_ylabel("N [m]"); ax.set_zlabel("U [m]")
+        ax.legend(fontsize=7)
+        ax.set_title(f"live flight scene (t={self.ach[-1][0]:.1f}s)")
+        fig.tight_layout()
+        fig.savefig(out_png, dpi=100)
+        plt.close(fig)
+        return True
+
 
 def live_main(addr: str, out_png: str, refresh_s: float = 1.0,
-              duration_s: float = 0.0):
+              duration_s: float = 0.0, scene: bool = False,
+              traj_csv: str = None):
     from sde4mbrl_px4_tpu.io.mavlink import MavlinkUDP
 
     link = MavlinkUDP(addr, mode="udpin")
     mon = LiveMonitor()
+    ref_xyz = None
+    if traj_csv:
+        # NED reference polyline for the scene overlay (numpy CSV parse —
+        # no jax in the plotting process).
+        import csv
+
+        with open(traj_csv) as f:
+            rows = list(csv.DictReader(f))
+        enu = np.array([[float(r["x"]), float(r["y"]), float(r["z"])]
+                        for r in rows])
+        ref_xyz = np.stack([enu[:, 1], enu[:, 0], -enu[:, 2]], axis=-1)
+    scene_png = (os.path.splitext(out_png)[0] + "_scene.png") if scene else None
     t_start = time.time()
     t_render = 0.0
-    print(f"live view on {addr}; rendering to {out_png} every {refresh_s}s",
+    print(f"live view on {addr}; rendering to {out_png}"
+          f"{' + ' + scene_png if scene_png else ''} every {refresh_s}s",
           flush=True)
     while not duration_s or time.time() - t_start < duration_s:
         msg = link.recv_match(timeout=0.1)
@@ -141,7 +193,20 @@ def live_main(addr: str, out_png: str, refresh_s: float = 1.0,
         if time.time() - t_render >= refresh_s:
             t_render = time.time()
             if mon.render(out_png):
+                if scene_png:
+                    mon.render_scene(scene_png, ref_xyz)
                 print(mon.summary(), flush=True)
+
+
+# numpy quaternion->rotation (keeps this tool jax-free: importing jax
+# here would initialize the TPU backend in a plotting subprocess)
+def _q_to_rotmat(q):
+    w, x, y, z = np.asarray(q, np.float64) / max(np.linalg.norm(q), 1e-9)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
 
 
 def render_scene(d: dict, out_png: str) -> None:
@@ -153,16 +218,6 @@ def render_scene(d: dict, out_png: str) -> None:
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-
-    # numpy quaternion->rotation (keeps this tool jax-free: importing jax
-    # here would initialize the TPU backend in a plotting subprocess)
-    def _q_to_rotmat(q):
-        w, x, y, z = np.asarray(q, np.float64) / max(np.linalg.norm(q), 1e-9)
-        return np.array([
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-        ])
 
     xs = d["state"]
     fig = plt.figure(figsize=(8, 7))
@@ -202,8 +257,12 @@ def main():
                     help="bind a UDP MAVLink endpoint and stream the "
                          "commanded-vs-achieved overlay live")
     ap.add_argument("--scene", action="store_true",
-                    help="also render a 3-D flown-vs-reference path view "
-                         "(<log>_scene.png) — the rviz-scene analogue")
+                    help="also render the 3-D path+pose view — post-hoc "
+                         "(<log>_scene.png) or live (<out>_scene.png, "
+                         "refreshed per tick); the rviz-scene analogue")
+    ap.add_argument("--traj", default=None, metavar="CSV",
+                    help="live --scene: reference trajectory CSV to "
+                         "overlay (t,x,y,z,... ENU columns)")
     ap.add_argument("--refresh", type=float, default=1.0)
     ap.add_argument("--duration", type=float, default=0.0,
                     help="live mode: stop after N seconds (0 = forever)")
@@ -211,11 +270,9 @@ def main():
     args = ap.parse_args()
 
     if args.live:
-        if args.scene:
-            ap.error("--scene is post-hoc only (needs a recorded log); "
-                     "run it on the npz after the flight")
         live_main(args.live, args.out or "live_view.png",
-                  refresh_s=args.refresh, duration_s=args.duration)
+                  refresh_s=args.refresh, duration_s=args.duration,
+                  scene=args.scene, traj_csv=args.traj)
         return
     if not args.log:
         ap.error("need a flight log path (or --live HOST:PORT)")
