@@ -765,7 +765,7 @@ def make_mpc_from_config(
                 s_seq = z_seq[:, n_u:] if prox_m else None
                 x_paths, sigmas = rollout_sde(
                     model, params, x, u_seq, time_steps, rng_noise, 1,
-                    deterministic=True,
+                    deterministic=True, precision=mm_precision,
                 )
                 return cost_fn(x_paths, sigmas, u_seq, x_ref, u_prev[:n_u],
                                s_seq=s_seq)
