@@ -57,17 +57,18 @@ def main():
     # Start past the trajectory's from-rest ramp (trajs ship with a 1.5 s
     # spin-up): the benchmark workload is the STEADY receding-horizon loop.
     T0 = 3.0
-    # ONE jitted program for the start state: eagerly, enu2ned(sft(T0))
-    # dispatches ~18 primitive-sized programs, each a ~1 s compile RPC on
-    # the dev tunnel (measured 14-17 s total; memory: performance traps).
-    x = jax.jit(lambda t: enu2ned(state_from_traj(t)))(jnp.float32(T0))
-    # AOT-cache the reset executable too: even trivial compile RPCs hit
-    # the tunnel's multi-minute latency weather (measured 2 s..122 s).
+    # AOT-cache every program of the startup path, the tiny enu2ned(sft)
+    # one included: even trivial compile RPCs hit the tunnel's
+    # multi-minute latency weather (measured 2 s..122 s; a round-5 bench
+    # session paid 110 s startup for exactly this one uncached program).
     from sde4mbrl_px4_tpu.aot_cache import load_or_compile as _loc
 
     import json as _json
 
     _cfg_key = _json.dumps(cfg, sort_keys=True, default=str)
+    jx = _loc(jax.jit(lambda t: enu2ned(state_from_traj(t))).lower(
+        jnp.float32(T0)), tag="bench_sft", key_extra=_cfg_key)
+    x = jx(jnp.float32(T0))
     jr = _loc(jax.jit(reset_fn).lower(x, rng, x), tag="bench_reset",
               key_extra=_cfg_key)
     st = jr(x, rng, x)

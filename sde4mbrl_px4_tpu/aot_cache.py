@@ -85,12 +85,19 @@ def aot_cache_dir() -> str:
 def _committed_artifact_dir() -> Optional[str]:
     """Read-only fallback: ``<repo>/artifacts/aot`` in a source checkout.
 
+    ``SDE4MBRL_AOT_NO_COMMITTED=1`` disables the fallback — set by
+    ``tools/regen_aot_artifacts.py`` so a regeneration on unchanged
+    source COMPILES fresh copies instead of loading (and then deleting)
+    the very artifacts it is replacing.
+
     Ships the flagship bench executables with the repo so even a FRESH
     machine's first bring-up loads instead of compiling (keys carry the
     package-source hash + jax version + backend fingerprint, so a stale
     commit can never be served — it just misses). New artifacts are
     always written machine-local; this dir is repopulated deliberately
     (commit after the final package change of a round)."""
+    if os.environ.get("SDE4MBRL_AOT_NO_COMMITTED"):
+        return None
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if any(os.path.exists(os.path.join(repo, m))
            for m in (".git", "pyproject.toml")):

@@ -42,9 +42,12 @@ def main():
 
     final_dir = os.path.join(_ROOT, "artifacts", "aot")
     tmp_dir = tempfile.mkdtemp(prefix="aot_regen_")
-    # All load_or_compile() calls below write HERE (and, because the old
-    # committed copies are keyed by the OLD source hash, never load them).
+    # All load_or_compile() calls below write HERE; the committed-dir
+    # fallback is disabled so a regen on UNCHANGED source still compiles
+    # fresh copies instead of loading (then deleting) the files it is
+    # replacing.
     os.environ["SDE4MBRL_AOT_DIR"] = tmp_dir
+    os.environ["SDE4MBRL_AOT_NO_COMMITTED"] = "1"
 
     import json
     import time
@@ -70,9 +73,12 @@ def main():
     t1 = time.time()
     cfg, (reset_fn, mpc_fn), sft, _ = load_mpc_from_cfgfile(
         os.path.join(_ROOT, "configs", "iris_traj_mpc.yaml"))
-    x = jax.jit(lambda t: enu2ned(sft(t)))(jnp.float32(3.0))
-    rng = jax.random.PRNGKey(0)
     cfg_key = json.dumps(cfg, sort_keys=True, default=str)
+    jx = load_or_compile(
+        jax.jit(lambda t: enu2ned(sft(t))).lower(jnp.float32(3.0)),
+        tag="bench_sft", key_extra=cfg_key)
+    x = jx(jnp.float32(3.0))
+    rng = jax.random.PRNGKey(0)
     jr = load_or_compile(jax.jit(reset_fn).lower(x, rng, x),
                          tag="bench_reset", key_extra=cfg_key)
     st = jr(x, rng, x)
@@ -98,6 +104,8 @@ def main():
 
     from sde4mbrl_px4_tpu.aot_cache import check_committed_fresh
 
+    # restore the committed-dir fallback for the self-check
+    os.environ.pop("SDE4MBRL_AOT_NO_COMMITTED", None)
     ok, reason = check_committed_fresh()
     assert ok, f"freshness self-check failed after regen: {reason}"
     print("freshness self-check: OK", flush=True)
