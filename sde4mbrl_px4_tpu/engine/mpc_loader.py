@@ -634,11 +634,13 @@ def make_mpc_from_config(
         iter_budget: Optional[jax.Array] = None,
     ) -> MPCSolution:
         """(docstring: module header). ``iter_budget`` (optional traced
-        scalar int) is the deadline-aware iteration cap for the APG solver
-        families (``solver/apg.py::apg_solve(iter_budget=...)``); the
-        engine computes it per solve from the remaining control period
-        (``apg_mpc.deadline_ms``, engine/controller.py). Ignored by the
-        mppi/pure-policy families (their per-solve cost is fixed by
+        scalar int) is the deadline-aware iteration cap for EVERY family
+        whose solve is an APG loop — the plain APG solvers AND the
+        policy+``refine_iters`` hybrid, whose polish runs
+        ``apg_solve(iter_budget=...)`` and therefore executes
+        ``min(refine_iters, budget)`` iterations (pinned by
+        tests/test_deadline.py). Ignored only by mppi and the pure
+        one-shot policy (their per-solve cost is fixed by
         samples/topology, not an iteration loop)."""
         x = jnp.asarray(x, jnp.float32)
         xdes = x if xdes is None else jnp.asarray(xdes, jnp.float32)
