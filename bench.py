@@ -455,10 +455,16 @@ def _bench_chained(here, _log, cfg, mpc_fn, reset_fn, state_from_traj, K=10,
     jax.block_until_ready(o1[3])
     per_solve_r1 = (time.perf_counter() - t0) / (n * K)
     ratio = (per_solve * R) / per_solve_r1
-    assert 0.5 * R <= ratio <= 1.2 * R, (
-        f"R-rep chain cost {ratio:.1f}x the R=1 chain (expected ~{R}x): "
-        "XLA hoisted/CSE'd the loop-invariant rep body — the amortized "
-        "headline would be inflated; fall back to the R=1 number")
+    if not (0.5 * R <= ratio <= 1.2 * R):
+        # Out-of-range means either XLA hoisted/CSE'd the loop-invariant
+        # rep body (ratio ~1) or the R=1 calls are dispatch-dominated
+        # this session — either way the amortized number is not
+        # trustworthy: FALL BACK to the conservative R=1 measurement
+        # loudly instead of corrupting (or dropping) the bench record.
+        _log(f"HOISTING GUARD: R-rep chain cost {ratio:.1f}x the R=1 "
+             f"chain (expected ~{R}x) — reporting the unamortized R=1 "
+             f"rate {1.0/per_solve_r1:.1f} solves/s instead")
+        per_solve = per_solve_r1
     _log(f"on-device chained rate (pinned window t=[{float(t1):.2f},"
          f"{float(t1) + K * dt:.2f}), seed 0, {R}x{K} solves/program): "
          f"{per_solve*1e3:.2f} ms/solve "
@@ -766,9 +772,11 @@ def _bench_hexa_chained(here, _log, K=10):
     jax.block_until_ready(o1[3])
     per_r1 = (time.perf_counter() - t0) / (n * K)
     ratio = (per * R) / per_r1
-    assert 0.5 * R <= ratio <= 1.2 * R, (
-        f"hexa R-rep chain cost {ratio:.1f}x the R=1 chain (expected "
-        f"~{R}x): XLA hoisted the loop-invariant rep body")
+    if not (0.5 * R <= ratio <= 1.2 * R):
+        _log(f"HOISTING GUARD (hexa): R-rep chain cost {ratio:.1f}x the "
+             f"R=1 chain (expected ~{R}x) — reporting the unamortized "
+             f"R=1 rate instead")
+        per = per_r1
     _log(f"hexa (6-motor) chained rate (pinned window, seed 0, "
          f"{R}x{K} solves/program): "
          f"{per*1e3:.2f} ms/solve ({1.0/per:.1f} solves/s/chip), "
@@ -831,9 +839,11 @@ def _bench_batched_throughput(here, _log, B=256):
     macs_step = 16 * 64 + 64 * 64 + 64 * 12
     flops_solve = (3.0 + maxls) * H * macs_step * 2 * steps_mean
     gflops = flops_solve * rate / 1e9
-    # Arithmetic intensity of the dominant op: (B,16)x(16,64) etc. with
-    # f32 weights resident — bytes/iter ~ activations in+out per matmul.
-    act_bytes = B * (16 + 64 + 64 + 64 + 12) * 4 * (3.0 + maxls) * H
+    # Arithmetic intensity of the dominant ops: (B,16)x(16,64) etc. with
+    # f32 weights resident — unique activation floats per EM step are
+    # 16 (in) + 64 + 64 + 12 (each tensor counted once; intermediate
+    # tensors are both an output and the next input).
+    act_bytes = B * (16 + 64 + 64 + 12) * 4 * (3.0 + maxls) * H
     ai = flops_solve * B / max(act_bytes * steps_mean, 1.0)
     _log(f"batched {B}-scenario re-targeted solve step (50-iter budget, "
          f"{steps_mean:.1f} steps/solve observed): {dt_s*1e3:.1f} ms "

@@ -182,7 +182,7 @@ def main():
           and all(np.isfinite(r["mpc_max_m"]) and r["mpc_max_m"] < 1.5
                   for r in rows))
     out = args.out or os.path.join(here, "artifacts", "MISMATCH.json")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
         json.dump({
             "what": ("closed-loop steady-state tracking error vs physical "

@@ -108,17 +108,33 @@ def _committed_artifact_dir() -> Optional[str]:
 
 
 def _config_shas() -> dict:
-    """sha256 of every shipped solver config: the AOT keys fold the full
-    cfg JSON in via ``key_extra``, so a config edit invalidates committed
-    artifacts exactly like a source edit does."""
+    """sha256 of every shipped asset the artifact KEYS depend on:
+
+    - ``configs/*.yaml`` — the full cfg JSON rides the key via
+      ``key_extra``;
+    - ``configs/models/*.pkl`` + ``configs/models/precond/*.npy`` —
+      model/preconditioner parameters are embedded as CONSTANTS in the
+      lowered StableHLO the key hashes;
+    - ``configs/trajs/*.csv`` — the load-time NED-converted knot table
+      is likewise a program constant.
+
+    A retrained checkpoint, regenerated preconditioner or edited
+    trajectory therefore invalidates committed artifacts exactly like a
+    source edit does — and the freshness gate must see it."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg_dir = os.path.join(repo, "configs")
     out = {}
-    if os.path.isdir(cfg_dir):
-        for fn in sorted(os.listdir(cfg_dir)):
-            if fn.endswith(".yaml"):
-                with open(os.path.join(cfg_dir, fn), "rb") as f:
-                    out[fn] = hashlib.sha256(f.read()).hexdigest()[:16]
+    for sub, exts in (("", (".yaml",)), ("models", (".pkl",)),
+                      (os.path.join("models", "precond"), (".npy",)),
+                      ("trajs", (".csv",))):
+        d = os.path.join(cfg_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(exts):
+                with open(os.path.join(d, fn), "rb") as f:
+                    key = os.path.join(sub, fn) if sub else fn
+                    out[key] = hashlib.sha256(f.read()).hexdigest()[:16]
     return out
 
 
@@ -175,6 +191,16 @@ def check_committed_fresh() -> tuple:
     if m.get("jax_version") != jax.__version__:
         return False, (f"jax {jax.__version__} installed but artifacts "
                        f"built for {m.get('jax_version')}")
+    # The backend fingerprint rides the keys too; it is only comparable
+    # when an accelerator is actually attached (the CPU test/preflight
+    # environment legitimately differs from the TPU the artifacts serve).
+    try:
+        if (jax.devices()[0].platform != "cpu"
+                and m.get("backend_fingerprint") != _backend_fingerprint()):
+            return False, (f"backend {_backend_fingerprint()} but artifacts "
+                           f"built for {m.get('backend_fingerprint')}")
+    except Exception:  # pragma: no cover — no backend
+        pass
     cur = _config_shas()
     for fn, sha in (m.get("config_shas") or {}).items():
         if cur.get(fn) != sha:
@@ -239,15 +265,24 @@ def load_or_compile(lowered, tag: str = "fn",
         (txt + jax.__version__ + _backend_fingerprint()
          + _package_source_hash() + key_extra).encode()
     ).hexdigest()[:24]
+    import glob as _glob
+
     d = cache_dir or aot_cache_dir()
     path = os.path.join(d, f"{tag}-{key}.aotx")
     committed = _committed_artifact_dir() if cache_dir is None else None
+    # The KEY alone identifies the program (it hashes the lowering +
+    # environment); the tag is a display prefix. A same-key artifact
+    # under another tag is byte-for-byte the same executable — serve it
+    # and never write a duplicate (bench_mpc/mpc were committing two
+    # copies of the same 1.2 MB program).
     candidates = [path]
-    if committed:
-        candidates.append(os.path.join(committed, f"{tag}-{key}.aotx"))
+    for dd in filter(None, (d, committed)):
+        candidates += sorted(_glob.glob(os.path.join(dd, f"*-{key}.aotx")))
+    seen = set()
     for cand in candidates:
-        if not os.path.exists(cand):
+        if cand in seen or not os.path.exists(cand):
             continue
+        seen.add(cand)
         try:
             with open(cand, "rb") as f:
                 payload, in_tree, out_tree, ndev = pickle.load(f)
@@ -259,9 +294,10 @@ def load_or_compile(lowered, tag: str = "fn",
                 payload, in_tree, out_tree,
                 execution_devices=jax.devices()[:ndev])
         except Exception:  # incompatible/corrupt artifact: recompile
-            if cand == path:  # never unlink the committed copy
-                try:
-                    os.remove(path)
+            if (os.path.normpath(os.path.dirname(cand))
+                    == os.path.normpath(d)):
+                try:  # never unlink a committed copy
+                    os.remove(cand)
                 except OSError:
                     pass
     compiled = lowered.compile()
@@ -271,11 +307,12 @@ def load_or_compile(lowered, tag: str = "fn",
     except Exception:
         ndev = 1
     try:
-        payload, in_tree, out_tree = serialize(compiled)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            pickle.dump((payload, in_tree, out_tree, ndev), f)
-        os.replace(tmp, path)
+        if not _glob.glob(os.path.join(d, f"*-{key}.aotx")):
+            payload, in_tree, out_tree = serialize(compiled)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump((payload, in_tree, out_tree, ndev), f)
+            os.replace(tmp, path)
     except Exception:  # pragma: no cover — serialization unsupported
         pass
     return compiled

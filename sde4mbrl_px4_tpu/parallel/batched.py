@@ -86,7 +86,18 @@ def make_batched_mpc(
         out_shardings=st_shardings,
     )
     if local_loop:
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map as _sm  # jax >= 0.8 canonical home
+
+            def shard_map(f, mesh, in_specs, out_specs):
+                return _sm(f, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        except ImportError:  # pragma: no cover — older jax
+            from jax.experimental.shard_map import shard_map as _sme
+
+            def shard_map(f, mesh, in_specs, out_specs):
+                return _sme(f, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_rep=False)
 
         def spec_leading(rank: int) -> P:
             return P("dp", *([None] * (rank - 1)))
@@ -98,13 +109,12 @@ def make_batched_mpc(
             opt_cost=P("dp"),
         )
         v_mpc = shard_map(
-            v_mpc, mesh=mesh,
-            in_specs=(spec_leading(2), spec_leading(2), st_specs, P("dp"),
-                      spec_leading(2)),
-            out_specs=MPCSolution(
+            v_mpc, mesh,
+            (spec_leading(2), spec_leading(2), st_specs, P("dp"),
+             spec_leading(2)),
+            MPCSolution(
                 u_opt=spec_leading(3), opt_state=st_specs,
                 rng=spec_leading(2), x_evol=spec_leading(3)),
-            check_rep=False,
         )
     mpc_sharded = jax.jit(
         v_mpc,

@@ -40,12 +40,16 @@ def test_param_dump_count_matches_docs():
                 "dump (1,073)")
 
 
-def test_shipped_checkpoints_exist_and_docs_list_them():
-    """Every checkpoint the configs reference must ship; the README's
-    checkpoint claims must cover what actually ships."""
+def test_shipped_checkpoints_exist_and_are_reachable():
+    """Every checkpoint the configs reference must ship, and every
+    shipped checkpoint must be REACHABLE — either named by a config's
+    ``learned_model_params`` or loadable through the policy solver's
+    ``{vehicle}_{traj|posctrl}_policy.pkl`` naming convention. A stray
+    .pkl that nothing can load is inventory rot."""
     mdl_dir = os.path.join(_ROOT, "configs", "models")
     shipped = sorted(f for f in os.listdir(mdl_dir) if f.endswith(".pkl"))
     assert shipped, "no shipped checkpoints found"
+    referenced = set()
     for cfg_name in os.listdir(os.path.join(_ROOT, "configs")):
         if not cfg_name.endswith(".yaml"):
             continue
@@ -56,6 +60,12 @@ def test_shipped_checkpoints_exist_and_docs_list_them():
             assert os.path.exists(p), (
                 f"{cfg_name} references missing checkpoint "
                 f"{cfg['learned_model_params']}")
+            referenced.add(os.path.basename(p))
+    convention = re.compile(r"^(iris|hexa)_(traj|posctrl)_policy\.pkl$")
+    for f in shipped:
+        assert f in referenced or convention.match(f), (
+            f"shipped checkpoint {f} is reachable by neither a config's "
+            "learned_model_params nor the policy-solver naming convention")
 
 
 def test_readme_config_sha_matches_configs():
