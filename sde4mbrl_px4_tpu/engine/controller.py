@@ -352,9 +352,20 @@ class RecedingHorizonController:
 
     def __init__(self, traj_cfg_path: str, pos_cfg_path: str, seed: int = 0,
                  now_fn: Callable[[], float] = time.time,
-                 pipeline: bool = False):
+                 pipeline: bool = False,
+                 offset_adaptation: Optional[dict] = None):
         self.traj = CompiledMPC(traj_cfg_path, seed=seed)
         self.pos = CompiledMPC(pos_cfg_path, seed=seed)
+        # Opt-in integral reference shaping for pos/setpoint modes
+        # (engine/offset.py): kills the steady hover bias a finite-horizon
+        # MPC holds under constant model mismatch. OFF by default —
+        # reference parity and the committed goldens are untouched.
+        self.offset_est = None
+        if offset_adaptation:
+            from sde4mbrl_px4_tpu.engine.offset import DisturbanceEstimator
+
+            self.offset_est = DisturbanceEstimator(
+                dt=float(self.pos.dt_usec) / 1e6, **offset_adaptation)
         assert self.traj.state_from_traj is not None, (
             "trajectory config must declare trajectory_path (reference asserts "
             "the same, sde_control.py:164)"
@@ -478,6 +489,8 @@ class RecedingHorizonController:
             self.opt_state_traj = self.traj.reset(x, self.rng_traj, x)
             self._idle_traj = True
 
+        if self.offset_est is not None and mode in ("pos", "idle"):
+            target_x = self.offset_est.update(np.asarray(x), target_x)
         target = jnp.asarray(target_x, jnp.float32)
         tt = jnp.float32(max(trajec_time, 0.0))
 

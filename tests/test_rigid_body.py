@@ -202,3 +202,68 @@ def test_fcusim_wraps_rigid_body_plant(iris_pos_mpc):
         fcu.run_control_period(dt)
     assert fcu.status == FCUSim.MPC_ON
     assert np.linalg.norm(plant.x[:3] - tgt_ned[:3]) < 0.1
+
+
+@pytest.mark.slow
+def test_offset_adaptation_removes_mismatch_bias(iris_pos_mpc):
+    """Opt-in integral reference shaping (engine/offset.py): the steady
+    hover bias a finite-horizon MPC holds under mass mismatch (~0.17 m
+    at mass x1.2) converges to ~zero with the estimator armed."""
+    import jax
+    import jax.numpy as jnp
+
+    from sde4mbrl_px4_tpu.core.frames import ned2enu
+    from sde4mbrl_px4_tpu.core.types import hover_state
+    from sde4mbrl_px4_tpu.engine.offset import DisturbanceEstimator
+
+    cfg, reset_fn, jm = iris_pos_mpc
+    dt = float(cfg["_time_steps"][0])
+    plant = RigidBodyPlant(
+        RigidBodyParams.nominal("iris").perturbed(mass_scale=1.2))
+    x0 = np.zeros(13)
+    x0[6] = 1.0
+    x0[0], x0[2] = 0.5, -0.3
+    plant.reset(x0)
+    tgt_ned = np.asarray(hover_state())
+    tgt_enu = np.asarray(ned2enu(jnp.asarray(tgt_ned)), np.float32)
+    est = DisturbanceEstimator(gain=0.6, limit=1.0, dt=dt)
+    rng = jax.random.PRNGKey(0)
+    st = reset_fn(jnp.asarray(plant.x, jnp.float32),
+                  rng, jnp.asarray(tgt_enu))
+    errs = []
+    for k in range(240):  # 12 s
+        tgt = jnp.asarray(est.update(plant.x, tgt_enu), jnp.float32)
+        u, st, rng, _ = jm(jnp.asarray(plant.x, jnp.float32), rng, st,
+                           jnp.float32(0.0), tgt)
+        plant.step(np.asarray(u[0]), dt)
+        if k >= 200:
+            errs.append(np.linalg.norm(plant.x[:3] - tgt_ned[:3]))
+    assert np.mean(errs) < 0.02, np.mean(errs)
+    # anti-windup: the learned offset stays inside the limit
+    assert np.abs(est.offset_ned).max() <= 1.0 + 1e-9
+
+
+def test_offset_estimator_unit_behavior():
+    """Frame handling + anti-windup of the estimator in isolation."""
+    from sde4mbrl_px4_tpu.engine.offset import DisturbanceEstimator
+
+    est = DisturbanceEstimator(gain=1.0, limit=0.5, dt=0.1, capture=2.0)
+    tgt_enu = np.zeros(13, np.float32)
+    tgt_enu[6] = 1.0
+    # vehicle sits 1 m below target (NED z = +1): error drives offset -z
+    x = np.zeros(13)
+    x[2] = 1.0
+    out = est.update(x, tgt_enu)
+    assert est.offset_ned[2] < 0.0
+    # shifted target moves UP in ENU (z_enu = -z_ned offset > 0)
+    assert out[2] > tgt_enu[2]
+    # windup clamps at the limit
+    for _ in range(100):
+        est.update(x, tgt_enu)
+    assert np.abs(est.offset_ned).max() <= 0.5 + 1e-9
+    # outside the capture radius the integrator holds
+    far = np.zeros(13)
+    far[0] = 10.0
+    before = est.offset_ned.copy()
+    est.update(far, tgt_enu)
+    np.testing.assert_array_equal(est.offset_ned, before)
