@@ -237,7 +237,8 @@ def test_mpc_motors_cmd_topic_and_achieved_motors(tmp_path):
 
 
 @pytest.mark.parametrize("name", ["pj_mpc_tracking.xml",
-                                  "pj_mpc_cmd_vs_achieved.xml"])
+                                  "pj_mpc_cmd_vs_achieved.xml",
+                                  "pj_mpc_cmd_vs_achieved_v2.xml"])
 def test_committed_layout_matches_exported_topics(tmp_path, name):
     """Every shipped PlotJuggler layout (incl. the commanded-vs-achieved
     port of the reference's new_analyze_mpc_v3.xml) references only
