@@ -286,3 +286,34 @@ def test_state_aware_warm_start_reduces_transient(repo_root):
     u0 = np.asarray(st_aware.yk[0])
     assert (u0 >= np.asarray(b.lb) - 1e-7).all() and (u0 <= np.asarray(b.ub) + 1e-7).all()
     assert u0.max() > float(b.cost_params.uref[0])  # thrust actually raised
+
+
+def test_offset_adaptation_engine_wiring(repo_root):
+    """RecedingHorizonController(offset_adaptation=...) shifts the pos-mode
+    target through the estimator (engine/offset.py); default-off leaves
+    targets untouched (goldens unaffected)."""
+    import os
+
+    from sde4mbrl_px4_tpu.engine.controller import RecedingHorizonController
+
+    c = RecedingHorizonController(
+        os.path.join(repo_root, "configs/iris_traj_mpc.yaml"),
+        os.path.join(repo_root, "configs/iris_posctrl_mpc.yaml"),
+        seed=0, now_fn=lambda: 0.0,
+        offset_adaptation={"gain": 1.0, "limit": 0.5},
+    )
+    try:
+        assert c.offset_est is not None
+        assert c.offset_est.dt == pytest.approx(0.05)
+        # vehicle 1 m below the hover target: repeated pos solves must
+        # integrate a -z NED offset
+        x = np.array(enu2ned(jnp.asarray(hover_state())), np.float32)
+        x[2] = 1.0
+        for k in range(3):
+            c.solve_once(x, CONTROL_STATES["pos"], -1.0,
+                         np.asarray(hover_state()),
+                         sample_time_usec=1e6 + k * 50_000.0)
+        assert c.offset_est.offset_ned[2] < -0.05
+        assert np.abs(c.offset_est.offset_ned).max() <= 0.5 + 1e-9
+    finally:
+        c.close()
