@@ -133,6 +133,7 @@ def fly_geometric(ctl, plant, seconds, dt=0.02):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--vehicle", choices=("iris", "hexa"), default="iris")
     ap.add_argument("--seconds", type=float, default=4.0)
     ap.add_argument("--iters", type=int, default=60,
                     help="APG iteration budget (full 200 changes nothing "
@@ -153,21 +154,23 @@ def main():
                                                  RigidBodyPlant)
 
     here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-    cfg = load_yaml_config(os.path.join(here, "configs/iris_posctrl_mpc.yaml"))
+    cfg = load_yaml_config(os.path.join(
+        here, f"configs/{args.vehicle}_posctrl_mpc.yaml"))
     cfg["apg_mpc"]["max_iter"] = args.iters
     cfg, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(cfg)
     mpc = (cfg, reset_fn, jax.jit(mpc_fn))
 
+    hover_u = {"iris": 0.71, "hexa": 0.33}[args.vehicle]
     try:
         geo = NativeGeometricController(GeoParams(
-            norm_thrust_const=0.71 / 9.81, norm_thrust_offset=0.0,
+            norm_thrust_const=hover_u / 9.81, norm_thrust_offset=0.0,
             kp=(2.0, 2.0, 4.0), kv=(2.0, 2.0, 3.0)))
     except Exception as e:  # noqa: BLE001 — csrc not built
         print(f"geometric baseline unavailable ({e!r}); MPC-only sweep",
               file=sys.stderr)
         geo = None
 
-    nominal = RigidBodyParams.nominal("iris")
+    nominal = RigidBodyParams.nominal(args.vehicle)
     rows = []
     print(f"{'cell':14s} {'MPC mean/max [m]':>20s} "
           f"{'MPC+adapt mean [m]':>19s} {'geometric mean/max [m]':>24s}")
@@ -199,14 +202,17 @@ def main():
     ok = (by["nominal"]["mpc_mean_m"] < 0.05
           and all(np.isfinite(r["mpc_max_m"]) and r["mpc_max_m"] < 1.5
                   for r in rows))
-    out = args.out or os.path.join(here, "artifacts", "MISMATCH.json")
+    out = args.out or os.path.join(
+        here, "artifacts",
+        "MISMATCH.json" if args.vehicle == "iris" else
+        f"MISMATCH_{args.vehicle}.json")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
         json.dump({
             "what": ("closed-loop steady-state tracking error vs physical "
                      "perturbation of the INDEPENDENT rigid-body plant "
                      "(sim/rigid_body.py); 0.5 m offset recovery + hold, "
-                     "iris posctrl MPC (weight_motors=100) vs C++ "
+                     f"{args.vehicle} posctrl MPC (weight_motors=100) vs C++ "
                      "geometric baseline (thrust+rates via FCU rate loop)"),
             "plant": "Newton-Euler + first-order motor lag + lin/quad drag"
                      ", RK4, parameters independent of the SDE checkpoint",

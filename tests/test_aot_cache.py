@@ -96,3 +96,29 @@ def test_manifest_invalidation_surface(tmp_path, monkeypatch):
         json.dump(m, f)
     ok, reason = aot_cache.check_committed_fresh()
     assert not ok and "source changed" in reason
+
+
+def test_no_committed_env_disables_fallback(monkeypatch):
+    """SDE4MBRL_AOT_NO_COMMITTED=1 (set by tools/regen_aot_artifacts.py)
+    must disable the committed-dir fallback — without it a regen on
+    unchanged source LOADS the artifacts it is about to delete and swaps
+    12 files out for 1 (the round-5 near-miss)."""
+    from sde4mbrl_px4_tpu import aot_cache
+
+    assert aot_cache._committed_artifact_dir() is not None
+    monkeypatch.setenv("SDE4MBRL_AOT_NO_COMMITTED", "1")
+    assert aot_cache._committed_artifact_dir() is None
+
+
+def test_same_key_artifact_shared_across_tags(tmp_path):
+    """The key identifies the program; a second tag with the same key is
+    served from the first tag's file and writes no duplicate."""
+    from sde4mbrl_px4_tpu.aot_cache import load_or_compile
+
+    d = str(tmp_path)
+    load_or_compile(_lowered(1.5), tag="alpha", cache_dir=d, _force=True)
+    assert len(os.listdir(d)) == 1
+    c2 = load_or_compile(_lowered(1.5), tag="beta", cache_dir=d, _force=True)
+    assert len(os.listdir(d)) == 1, os.listdir(d)
+    x = jnp.arange(4.0)
+    assert np.isfinite(np.asarray(c2(x))).all()
