@@ -10,7 +10,8 @@ motor lag + drag, written separately from the model code) across
 physically-perturbed cells:
 
     mass x0.8 / x1.2, drag x0.5 / x1.5, motor lag 5/10/20 ms,
-    thrust coefficient x0.9 (battery sag), and a combined worst case.
+    thrust coefficient x0.9 (battery sag), a ~4 m/s lateral wind (the
+    Gazebo wind plugin's role), and a combined worst case.
 
 Both controllers run through the same FCU behavioral shim (``FCUSim``:
 watchdog, engagement, command blending) — MPC at ``weight_motors=100``
@@ -44,6 +45,7 @@ CELLS = [
     ("lag_10ms", dict(motor_tau=0.010)),
     ("lag_20ms", dict(motor_tau=0.020)),
     ("ct_x0.9", dict(ct_scale=0.9)),
+    ("wind_4ms", dict(wind=[3.0, 2.5, 0.0])),   # ~4 m/s lateral wind
     ("worst_combo", dict(mass_scale=1.2, drag_scale=1.5, motor_tau=0.020)),
 ]
 

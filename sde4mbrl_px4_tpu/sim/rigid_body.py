@@ -81,6 +81,8 @@ class RigidBodyParams:
     drag_quad: np.ndarray = field(    # N/(m/s)^2, body frame
         default_factory=lambda: np.array([0.05, 0.05, 0.05]))
     drag_rot: float = 0.005           # N m/(rad/s) rotational damping
+    wind_ned: np.ndarray = field(     # m/s constant wind (drag acts on
+        default_factory=lambda: np.zeros(3))  # the air-relative velocity)
     hover_u: float = 0.0              # per-motor hover command (derived)
 
     @classmethod
@@ -110,14 +112,17 @@ class RigidBodyParams:
 
     def perturbed(self, mass_scale: float = 1.0, drag_scale: float = 1.0,
                   motor_tau: Optional[float] = None,
-                  ct_scale: float = 1.0) -> "RigidBodyParams":
+                  ct_scale: float = 1.0,
+                  wind: Optional[list] = None) -> "RigidBodyParams":
         """A physically-perturbed copy — the model-mismatch axes.
 
         ``mass_scale`` changes mass AND inertia (payload-like); ``ct`` is
         NOT rescaled with mass, so hover now needs ``mass_scale`` x the
         command the controller's model believes in — exactly the
         unmodeled-payload scenario. ``drag_scale`` scales all drag terms;
-        ``ct_scale`` models battery sag / prop wear.
+        ``ct_scale`` models battery sag / prop wear; ``wind`` (NED m/s)
+        is a constant wind the drag terms act against (the Gazebo wind
+        plugin's role).
         """
         return replace(
             self,
@@ -128,6 +133,8 @@ class RigidBodyParams:
             drag_quad=self.drag_quad * drag_scale,
             drag_rot=self.drag_rot * drag_scale,
             motor_tau=self.motor_tau if motor_tau is None else motor_tau,
+            wind_ned=(self.wind_ned if wind is None
+                      else np.asarray(wind, np.float64)),
         )
 
 
@@ -179,7 +186,7 @@ class RigidBodyPlant:
         R = _rotmat(qn)
 
         T = p.ct * np.clip(u_act, 0.0, 1.0)          # per-rotor thrust, N
-        v_b = R.T @ v
+        v_b = R.T @ (v - p.wind_ned)                 # air-relative velocity
         f_drag = -p.drag_lin * v_b - p.drag_quad * np.abs(v_b) * v_b
         f_body = f_drag.copy()
         f_body[2] -= T.sum()                          # thrust along body -z

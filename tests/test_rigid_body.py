@@ -267,3 +267,12 @@ def test_offset_estimator_unit_behavior():
     before = est.offset_ned.copy()
     est.update(far, tgt_enu)
     np.testing.assert_array_equal(est.offset_ned, before)
+
+
+def test_wind_pushes_free_hover():
+    """Constant wind drags an uncontrolled hovering vehicle downwind."""
+    p = RigidBodyParams.nominal("iris").perturbed(wind=[3.0, 0.0, 0.0])
+    pl = RigidBodyPlant(p)
+    pl.step(np.full(4, p.hover_u), 3.0)
+    assert pl.x[0] > 0.5          # blown north (NED +x)
+    assert abs(pl.x[1]) < 1e-6
