@@ -59,6 +59,16 @@ def main():
     ap.add_argument("--vehicle", default="iris", choices=("iris", "hexa"),
                     help="airframe: picks configs/<vehicle>_{traj,posctrl}"
                          "_mpc.yaml and the matching model checkpoint")
+    ap.add_argument("--plant", default="sde", choices=("sde", "rigid"),
+                    help="sde: the learned model as plant (perfect-model "
+                         "experiment); rigid: the INDEPENDENT Newton-Euler "
+                         "plant (sim/rigid_body.py) — the Gazebo-SITL-"
+                         "equivalent run (model mismatch by construction)")
+    ap.add_argument("--mass-scale", type=float, default=1.0,
+                    help="with --plant rigid: payload-style mass/inertia "
+                         "perturbation (ct NOT rescaled)")
+    ap.add_argument("--wind", type=float, default=0.0,
+                    help="with --plant rigid: constant lateral wind, m/s")
     args = ap.parse_args()
 
     import jax
@@ -137,11 +147,24 @@ def main():
     node.start()
     node.serve_mavlink(f"127.0.0.1:{args.port}")
 
-    # Plant: same learned model as the controller (perfect-model experiment).
-    params, _ = load_params(
-        os.path.join(here, f"configs/models/{args.vehicle}_sde.pkl"))
-    model = NeuralSDE(vehicle=vehicle_from_name(args.vehicle))
-    plant = SDEPlant(model, params, sim_dt=0.005)
+    if args.plant == "rigid":
+        # Independent physics (the Gazebo role): the controller's model
+        # never saw this plant's drag/yaw-ratio/lag — with optional
+        # payload + wind perturbations on top.
+        from sde4mbrl_px4_tpu.sim.rigid_body import (RigidBodyParams,
+                                                     RigidBodyPlant)
+
+        rb = RigidBodyParams.nominal(args.vehicle).perturbed(
+            mass_scale=args.mass_scale,
+            wind=[args.wind, args.wind * 0.6, 0.0] if args.wind else None)
+        plant = RigidBodyPlant(rb, sim_dt=0.002)
+    else:
+        # Plant: same learned model as the controller (perfect-model
+        # experiment).
+        params, _ = load_params(
+            os.path.join(here, f"configs/models/{args.vehicle}_sde.pkl"))
+        model = NeuralSDE(vehicle=vehicle_from_name(args.vehicle))
+        plant = SDEPlant(model, params, sim_dt=0.005)
     # state_from_traj is ENU at the API boundary; the plant runs NED.
     start = np.array(enu2ned(node.ctrl.traj.state_from_traj(0.0)))
     # The shipped CSVs ramp from rest (trajgen ramp=1.5 s) so traj(0) has
