@@ -162,17 +162,18 @@ def main():
     cfg, (reset_fn, mpc_fn), _, _ = make_mpc_from_config(cfg)
     mpc = (cfg, reset_fn, jax.jit(mpc_fn))
 
-    hover_u = {"iris": 0.71, "hexa": 0.33}[args.vehicle]
+    nominal = RigidBodyParams.nominal(args.vehicle)
     try:
+        # thrust constant from the SAME nominal calibration the plant
+        # uses (one source of truth for the hover command)
         geo = NativeGeometricController(GeoParams(
-            norm_thrust_const=hover_u / 9.81, norm_thrust_offset=0.0,
+            norm_thrust_const=nominal.hover_u / 9.81, norm_thrust_offset=0.0,
             kp=(2.0, 2.0, 4.0), kv=(2.0, 2.0, 3.0)))
     except Exception as e:  # noqa: BLE001 — csrc not built
         print(f"geometric baseline unavailable ({e!r}); MPC-only sweep",
               file=sys.stderr)
         geo = None
 
-    nominal = RigidBodyParams.nominal(args.vehicle)
     rows = []
     print(f"{'cell':14s} {'MPC mean/max [m]':>20s} "
           f"{'MPC+adapt mean [m]':>19s} {'geometric mean/max [m]':>24s}")

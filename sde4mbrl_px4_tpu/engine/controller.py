@@ -356,11 +356,15 @@ class RecedingHorizonController:
                  offset_adaptation: Optional[dict] = None):
         self.traj = CompiledMPC(traj_cfg_path, seed=seed)
         self.pos = CompiledMPC(pos_cfg_path, seed=seed)
-        # Opt-in integral reference shaping for pos/setpoint modes
+        # Opt-in integral reference shaping for the pos/setpoint mode
         # (engine/offset.py): kills the steady hover bias a finite-horizon
         # MPC holds under constant model mismatch. OFF by default —
-        # reference parity and the committed goldens are untouched.
+        # reference parity and the committed goldens are untouched. The
+        # integration step is MEASURED from state timestamps (solve rate
+        # follows the doorbell rate, not the control period), and the
+        # estimator resets wherever the solvers' warm starts do.
         self.offset_est = None
+        self._offset_last_usec = None
         if offset_adaptation:
             from sde4mbrl_px4_tpu.engine.offset import DisturbanceEstimator
 
@@ -478,19 +482,36 @@ class RecedingHorizonController:
         opaque entry for :meth:`collect_entry`); never blocks on the device.
         Warm-start/rng state advances here, so chained dispatches form the
         same solve sequence as blocking calls."""
-        x = jnp.asarray(x, jnp.float32)
         mode = CONTROL_STATE_NAMES.get(int(control_state), "none")
+        # Estimator ticks on the incoming HOST state (before the device
+        # conversion — np.asarray on a committed jnp array would be a
+        # blocking device fetch in the hot dispatch path), POS mode only
+        # (idle is the pre-engagement hold: the FCU is typically not
+        # executing commands yet and an open-loop integrator would wind
+        # up — engine/offset.py), with dt measured from the state
+        # timestamps so the integral gain is per-second regardless of the
+        # doorbell rate.
+        if self.offset_est is not None:
+            if mode == "pos":
+                dt_s = (None if self._offset_last_usec is None else
+                        (sample_time_usec - self._offset_last_usec) / 1e6)
+                target_x = self.offset_est.update(np.asarray(x), target_x,
+                                                  dt_s)
+                self._offset_last_usec = sample_time_usec
+            else:
+                self._offset_last_usec = None
+        x = jnp.asarray(x, jnp.float32)
         t0 = time.perf_counter()
 
         if self._curr_ctrl is None or (self._curr_ctrl == "none" and mode != "none"):
             self.opt_state_traj = self.traj.reset(x, self.rng_traj, x)
             self.opt_state_pos = self.pos.reset(x, self.rng_pos, x)
+            if self.offset_est is not None:
+                self.offset_est.reset()   # fresh engagement, fresh integral
         if mode == "idle" and self._curr_ctrl in (None, "none", "pos"):
             self.opt_state_traj = self.traj.reset(x, self.rng_traj, x)
             self._idle_traj = True
 
-        if self.offset_est is not None and mode in ("pos", "idle"):
-            target_x = self.offset_est.update(np.asarray(x), target_x)
         target = jnp.asarray(target_x, jnp.float32)
         tt = jnp.float32(max(trajec_time, 0.0))
 
